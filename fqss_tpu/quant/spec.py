@@ -1,0 +1,62 @@
+"""Declarative quantization plan.
+
+The reference configures quantization via a YAML ``quantization`` dict and
+applies it by runtime module surgery (reference:
+quantization/qat/models/load_model.py:53-74, qat_utils.py:273-332). In this
+framework the same schema becomes a static dataclass threaded into the model
+constructors — every quantizable primitive reads its bit-widths and toggles
+from here, so the quantized and float (teacher) models are the same module
+code with ``qat`` flipped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantSpec:
+    """Mirror of the YAML ``model_cfg.quantization`` schema.
+
+    Field names/defaults match load_model.quantize_model
+    (load_model.py:53-74) so existing reference configs load unchanged.
+    """
+
+    qat: bool = False
+    gradient_based: bool = True
+    weight_quant: bool = True
+    weight_n_bits: int = 8
+    act_quant: bool = True
+    act_n_bits: int = 8
+    in_quant: bool = False
+    in_act_n_bits: int = 8
+    out_quant: bool = False
+    out_act_n_bits: int = 8
+    n_splitter: int = 1
+    n_combiner: int = 1
+    inout_nl_quant: bool = False
+    observer: bool = True
+    train_res_dec: bool = False
+    # TPU-build extensions (reference equivalents are code-level choices):
+    act_quantizer: str = "linear"  # 'linear' | 'mse'
+    lstm_mode: str = "fused"  # 'fused' | 'static' | 'dynamic' (qat_layers.py:571-862)
+
+    @classmethod
+    def from_config(cls, cfg: Mapping[str, Any] | None) -> "QuantSpec":
+        """Build from a YAML ``quantization`` dict; unknown keys are ignored."""
+        if not cfg:
+            return cls()
+        fields = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in cfg.items() if k in fields})
+
+    @property
+    def enabled(self) -> bool:
+        return self.qat
+
+    def disabled(self) -> "QuantSpec":
+        """The float-teacher view of this plan (splitter/combiner off too)."""
+        return dataclasses.replace(self, qat=False, n_splitter=1, n_combiner=1)
+
+
+FLOAT = QuantSpec()  # convenience: fully-float plan
