@@ -1,0 +1,107 @@
+"""Benchmark: flagship QAT inference throughput on TPU vs PyTorch-CPU reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: seconds of audio separated per wall-clock second per chip by the
+full-size fake-quantized ConvTasNet (n_splitter=2/n_combiner=2, the FQSS
+8-bit configuration) on 12 s @ 8 kHz segments (testing_cfg segment length,
+configs/dptnet_2spks_8k.yaml:117). vs_baseline = ratio over the reference
+PyTorch model running the same workload on this host's CPU (measured once
+and cached in .bench_cache.json; BASELINE.md target: >= 20x).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SEG = 96000  # 12 s @ 8 kHz
+BATCH = 8
+N_SRC = 2
+KERNEL, STRIDE = 16, 8
+
+
+def bench_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from fqss_tpu.models import ConvTasNet
+    from fqss_tpu.quant import QuantSpec
+
+    q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
+    model = ConvTasNet(n_srcs=N_SRC, kernel_size=KERNEL, stride=STRIDE, q=q)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, SEG), minval=-1.0, maxval=1.0)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    jax.block_until_ready(fwd(variables, x))  # compile
+    n_iter = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        y = fwd(variables, x)
+    jax.block_until_ready(y)
+    dt = time.perf_counter() - t0
+    return n_iter * BATCH * SEG / 8000.0 / dt  # sec-of-audio / sec
+
+
+def bench_torch_cpu_reference() -> float | None:
+    """Reference ConvTasNetQ (float-surgery QAT path is torch-only; we bench
+    the float forward which lower-bounds its cost) on this host's CPU."""
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache.json")
+    if os.path.exists(cache):
+        try:
+            return json.load(open(cache))["torch_cpu_sec_audio_per_sec"]
+        except Exception:
+            pass
+    ref = "/root/reference"
+    if not os.path.isdir(ref):
+        return None
+    try:
+        import types
+
+        import torch
+
+        for name in ("torchmetrics", "torchmetrics.audio", "torchmetrics.audio.stoi", "torchaudio"):
+            sys.modules.setdefault(name, types.ModuleType(name))
+        sys.modules["torchmetrics"].ScaleInvariantSignalNoiseRatio = object
+        sys.modules["torchmetrics"].SignalDistortionRatio = object
+        sys.modules["torchmetrics.audio.stoi"].ShortTimeObjectiveIntelligibility = object
+        try:
+            import matplotlib  # noqa: F401
+        except ImportError:
+            for name in ("matplotlib", "matplotlib.pyplot"):
+                sys.modules.setdefault(name, types.ModuleType(name))
+        if ref not in sys.path:
+            sys.path.insert(0, ref)
+        from quantization.qat.models.convtasnetq import ConvTasNetQ
+
+        tm = ConvTasNetQ(n_spks=N_SRC, kernel_size=KERNEL, stride=STRIDE).eval()
+        x = torch.rand(1, SEG) * 2 - 1
+        with torch.no_grad():
+            tm(x)  # warm
+            n_iter, t0 = 3, time.perf_counter()
+            for _ in range(n_iter):
+                tm(x)
+            dt = time.perf_counter() - t0
+        value = n_iter * SEG / 8000.0 / dt
+        json.dump({"torch_cpu_sec_audio_per_sec": value}, open(cache, "w"))
+        return value
+    except Exception:
+        return None
+
+
+def main():
+    tpu = bench_tpu()
+    cpu = bench_torch_cpu_reference()
+    vs = tpu / cpu if cpu else None
+    print(json.dumps({
+        "metric": "convtasnet_fqss8bit_infer_throughput",
+        "value": round(tpu, 2),
+        "unit": "sec_audio_per_sec_per_chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""Unified QAT trainer: one jitted SPMD train step, four recipe behaviors.
+
+Replaces the reference's four training environments (pytorch-lightning,
+speechbrain, hand-rolled DDP, dora — SURVEY.md §2.6) with a single
+data-parallel train step compiled by XLA over a device mesh:
+
+* student forward with mutable quantizer collections (observer EMA runs
+  inside the step; the phase switch is traced, so one compilation covers the
+  whole run),
+* float-teacher forward under stop_gradient,
+* sensitivity-weighted KD loss (mysystem.py:124-146),
+* grads for model params AND learned quantizer ranges in one optax update
+  (clip-by-global-norm like the reference's grad_clip 5.0,
+  asteroid_librimix_trainer.py:128),
+* optional speechbrain-style robustness: per-sample loss thresholding and
+  non-finite/over-limit update skipping (speechbrain_librimix_trainer.py:140-197),
+* ReduceLROnPlateau/StepLR via a state-carried multiplicative LR scale.
+
+Data parallelism: shard the batch over the mesh's ``dp`` axis and keep the
+state replicated — XLA emits the gradient all-reduce over ICI. Observer
+statistics therefore see the *global* batch min/max (an improvement over the
+reference, whose DDP ranks silently desync their observer parameters since
+DDP only all-reduces gradients).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fqss_tpu.quant.quantizers import QPARAMS, QSTATS
+from fqss_tpu.separation.losses import fqss_kd_loss, pit_neg_sisdr_db
+from fqss_tpu.train.state import TrainState, create_train_state
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    kd_lambda: float = 0.1
+    lr: float = 1e-3
+    weight_decay: float = 0.0
+    grad_clip: float = 5.0
+    # speechbrain-style robustness (speechbrain_librimix_trainer.py:140-197)
+    threshold_byloss: bool = False
+    threshold: float = -30.0
+    loss_upper_lim: float = 999999.0
+    optimizer: str = "adam"
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Adam/AdamW with global-norm clipping and a state-scaled LR.
+
+    The LR is multiplied by ``lr_scale`` carried in TrainState — the
+    functional ReduceLROnPlateau/half-lr mechanism
+    (asteroid_librimix_trainer.py:110-115 half_lr with factor 0.5/patience 5).
+    """
+    chain = []
+    if cfg.grad_clip and cfg.grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    if cfg.optimizer == "adam":
+        if cfg.weight_decay:
+            chain.append(optax.adamw(cfg.lr, weight_decay=cfg.weight_decay))
+        else:
+            chain.append(optax.adam(cfg.lr))
+    elif cfg.optimizer == "sgd":
+        chain.append(optax.sgd(cfg.lr))
+    else:
+        raise ValueError(cfg.optimizer)
+    return optax.chain(*chain)
+
+
+def _model_variables(state: TrainState, trainable: dict) -> dict:
+    variables = {"params": trainable["params"]}
+    if state.qparams or trainable.get("qparams"):
+        variables[QPARAMS] = trainable["qparams"]
+    if state.qstats:
+        variables[QSTATS] = state.qstats
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    return variables
+
+
+def make_train_step(
+    model,
+    teacher,
+    tx: optax.GradientTransformation,
+    cfg: TrainConfig,
+    loss_fn: Callable | None = None,
+) -> Callable[[TrainState, Array, Array], tuple[TrainState, dict]]:
+    """Build the jitted KD train step.
+
+    model/teacher: flax modules mapping [B, T] mixtures -> [B, S, T'].
+    loss_fn(est, fest, targets) -> (loss, kd_loss); defaults to the FQSS
+    speech KD loss. Returned step: (state, mix, targets) -> (state, metrics).
+    """
+    if loss_fn is None:
+        loss_fn = partial(fqss_kd_loss, kd_lambda=cfg.kd_lambda)
+
+    def compute_loss(trainable, state, mix, targets):
+        variables = _model_variables(state, trainable)
+        mutable = [c for c in (QPARAMS, QSTATS, "batch_stats") if c in variables and variables[c]]
+        if mutable:
+            est, mutated = model.apply(variables, mix, mutable=mutable)
+        else:
+            est, mutated = model.apply(variables, mix), {}
+        t_len = targets.shape[-1]
+        est = est[..., :t_len]
+        if cfg.kd_lambda > 0 and state.teacher_params is not None:
+            fest = teacher.apply({"params": state.teacher_params}, mix)[..., :t_len]
+        else:
+            fest = jax.lax.stop_gradient(est)
+        loss, kd_loss = loss_fn(est, fest, targets)
+        return loss, (kd_loss, mutated)
+
+    @jax.jit
+    def train_step(state: TrainState, mix: Array, targets: Array):
+        grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
+        (loss, (kd_loss, mutated)), grads = grad_fn(state.trainable, state, mix, targets)
+
+        # Observer mutations are the base the optimizer update applies to.
+        base = {
+            "params": state.params,
+            "qparams": mutated.get(QPARAMS, state.qparams),
+        }
+        updates, new_opt_state = tx.update(grads, state.opt_state, base)
+        # lr_scale multiplies the final update — exact LR scaling for any
+        # optimizer (the ReduceLROnPlateau / half_lr mechanism).
+        updates = jax.tree_util.tree_map(lambda u: u * state.lr_scale, updates)
+        new_trainable = optax.apply_updates(base, updates)
+
+        # Non-finite / over-limit robustness: skip the whole update.
+        ok = jnp.logical_and(jnp.isfinite(loss), loss < cfg.loss_upper_lim)
+        ok_f = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new, old
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=ok_f(new_trainable["params"], state.params),
+            qparams=ok_f(new_trainable["qparams"], base["qparams"]),
+            qstats=mutated.get(QSTATS, state.qstats),
+            batch_stats=mutated.get("batch_stats", state.batch_stats),
+            opt_state=ok_f(new_opt_state, state.opt_state),
+            skipped=state.skipped + (1 - ok.astype(jnp.int32)),
+        )
+        grad_norm = optax.global_norm(grads)
+        return new_state, {"loss": loss, "kd_loss": kd_loss, "grad_norm": grad_norm, "skipped": ~ok}
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable[[TrainState, Array, Array], dict]:
+    """Validation step: PIT neg SI-SDR without KD (mysystem.py:148-151)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, mix: Array, targets: Array):
+        variables = _model_variables(state, state.trainable)
+        est = model.apply(variables, mix)[..., : targets.shape[-1]]
+        return {"val_loss": pit_neg_sisdr_db(est, targets)}
+
+    return eval_step
+
+
+class ReduceLROnPlateau:
+    """Host-side plateau scheduler writing TrainState.lr_scale.
+
+    Functional equivalent of torch ReduceLROnPlateau as used by the asteroid
+    recipe (asteroid_librimix_trainer.py:110-115: factor 0.5, patience 5).
+    """
+
+    def __init__(self, factor: float = 0.5, patience: int = 5, min_scale: float = 1e-4):
+        self.factor = factor
+        self.patience = patience
+        self.min_scale = min_scale
+        self.best = float("inf")
+        self.bad_epochs = 0
+
+    def update(self, state: TrainState, val_loss: float) -> TrainState:
+        if val_loss < self.best:
+            self.best = val_loss
+            self.bad_epochs = 0
+            return state
+        self.bad_epochs += 1
+        if self.bad_epochs > self.patience:
+            self.bad_epochs = 0
+            new_scale = max(float(state.lr_scale) * self.factor, self.min_scale)
+            return state.replace(lr_scale=jnp.asarray(new_scale, jnp.float32))
+        return state
+
+
+class EarlyStopping:
+    """EarlyStopping(patience) like the asteroid recipe's 30-epoch stopper
+    (asteroid_librimix_trainer.py:119-123)."""
+
+    def __init__(self, patience: int = 30):
+        self.patience = patience
+        self.best = float("inf")
+        self.bad_epochs = 0
+
+    def update(self, val_loss: float) -> bool:
+        """Returns True when training should stop."""
+        if val_loss < self.best:
+            self.best = val_loss
+            self.bad_epochs = 0
+            return False
+        self.bad_epochs += 1
+        return self.bad_epochs >= self.patience
+
+
+__all__ = [
+    "TrainConfig",
+    "TrainState",
+    "create_train_state",
+    "make_optimizer",
+    "make_train_step",
+    "make_eval_step",
+    "ReduceLROnPlateau",
+    "EarlyStopping",
+]
