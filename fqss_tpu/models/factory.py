@@ -1,0 +1,202 @@
+"""Model factory: name -> quantized model + float teacher + loaded weights.
+
+TPU equivalent of the reference factory
+(reference: quantization/qat/models/load_model.py:11-102 and
+train_env/train_utils.py:8-27). Because quantization here is declarative
+(QuantSpec threaded at construction) there is no surgery step: the float
+teacher is the same module class with the quantization plan disabled, and
+``enable_observer``/``set_mac_op`` become constructor/apply options rather
+than module walks.
+
+Checkpoint formats accepted by :func:`load_pretrained_variables`:
+* ``.pth`` torch files (reference float checkpoints) — converted through
+  fqss_tpu.models.convert with splitter encoder widening;
+* orbax/np ``.npz``/msgpack trees saved by this framework.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+
+from fqss_tpu.models.convtasnet import ConvTasNet
+from fqss_tpu.quant.spec import QuantSpec
+
+MODEL_NAMES = ("ConvTasNet", "DPTNet", "Sepformer", "ConvTasNetMusic", "HTDemucs")
+
+
+def create_model(model_cfg: Mapping[str, Any], q: QuantSpec | None = None):
+    """Build a model by config name (load_model.py:21-51)."""
+    name = model_cfg["name"]
+    if q is None:
+        q = QuantSpec.from_config(model_cfg.get("quantization"))
+        if not model_cfg.get("quantization", {}).get("qat", False):
+            q = QuantSpec()
+    if name == "ConvTasNet":
+        # Arch-size keys beyond the reference's (n_src, kernel_size, stride)
+        # are optional extensions for small smoke configs.
+        extra = {
+            k: model_cfg[k]
+            for k in ("n_filters", "bn_chan", "hid_chan", "n_blocks", "n_repeats", "mask_act", "mask_kernel_size")
+            if k in model_cfg
+        }
+        return ConvTasNet(
+            n_srcs=model_cfg.get("n_src", 1),
+            kernel_size=model_cfg.get("kernel_size", 32),
+            stride=model_cfg.get("stride", 16),
+            q=q,
+            **extra,
+        )
+    if name == "DPTNet":
+        from fqss_tpu.models.dptnet import DPTNet
+
+        return DPTNet(
+            n_srcs=model_cfg.get("n_src", 2),
+            kernel_size=model_cfg.get("kernel_size", 2),
+            q=q,
+        )
+    if name == "Sepformer":
+        from fqss_tpu.models.sepformer import Sepformer
+
+        return Sepformer(
+            n_srcs=model_cfg.get("n_src", 2),
+            kernel_size=model_cfg.get("kernel_size", 16),
+            stride=model_cfg.get("stride", 8),
+            q=q,
+        )
+    if name == "ConvTasNetMusic":
+        from fqss_tpu.models.convtasnet_music import ConvTasNetMusic
+
+        return ConvTasNetMusic(
+            sources=tuple(model_cfg.get("sources", ["drums", "bass", "other", "vocals"])),
+            kernel_size=model_cfg.get("kernel_size", 20),
+            stride=model_cfg.get("stride", 10),
+            q=q,
+        )
+    if name == "HTDemucs":
+        from fqss_tpu.models.htdemucs import HTDemucs
+
+        return HTDemucs(
+            sources=tuple(model_cfg.get("sources", ["drums", "bass", "other", "vocals"])),
+            q=q,
+        )
+    raise ValueError(f"Model {name} is not supported! ({MODEL_NAMES})")
+
+
+def quant_spec_from_cfg(model_cfg: Mapping[str, Any], observer: bool | None = None) -> QuantSpec:
+    """QuantSpec from model_cfg['quantization'] (load_model.py:53-74).
+
+    ``observer`` overrides the config's observer flag (val.py disables it)."""
+    q = QuantSpec.from_config(model_cfg.get("quantization"))
+    if observer is not None:
+        import dataclasses
+
+        q = dataclasses.replace(q, observer=observer)
+    return q
+
+
+def load_pretrained_variables(model, model_path: str, example_input, rng=None) -> dict:
+    """Init variables, then load weights from a checkpoint path.
+
+    Torch .pth float checkpoints go through the layout converter; 'state' /
+    'state_dict' wrappers and 'fmodel.*' teacher keys are handled like
+    load_model.py:85-102 / convtasnetq.py:225-237.
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    variables = dict(model.init(rng, example_input))
+    if model_path is None:
+        return variables
+    if model_path.endswith((".pth", ".pt", ".ckpt")):
+        import torch
+
+        sd = torch.load(model_path, map_location="cpu", weights_only=False)
+        for key in ("state", "state_dict"):
+            if isinstance(sd, dict) and key in sd:
+                sd = sd[key]
+        sd = {k: v for k, v in sd.items() if not k.startswith("fmodel.")}
+        sd = {k.removeprefix("model."): v.detach().numpy() for k, v in sd.items()}
+        params = _torch_to_params(model, sd)
+        if model.q.n_splitter >= 2:
+            params = _widen_encoder(params, model.q.n_splitter, rng)
+        _check_congruence(variables["params"], params)
+        variables["params"] = params
+        return variables
+    # Framework-native checkpoints (orbax dir or npz).
+    from fqss_tpu.train.checkpoints import restore_variables
+
+    return restore_variables(model_path, variables)
+
+
+def _torch_to_params(model, sd: dict) -> dict:
+    from fqss_tpu.models.convert import convtasnet_params_from_torch
+
+    if isinstance(model, ConvTasNet):
+        return convtasnet_params_from_torch(sd, n_repeats=model.n_repeats, n_blocks=model.n_blocks)
+    raise NotImplementedError(f"torch import not yet wired for {type(model).__name__}")
+
+
+def _widen_encoder(params: dict, n_splitter: int, rng) -> dict:
+    """Splitter widening of the float encoder kernel (qat_layers.py:1009-1026)."""
+    from fqss_tpu.nn.io_layers import expand_encoder_kernel
+
+    enc = params.get("encoder", {}).get("conv", params.get("encoder", {}))
+    if "kernel" in enc and enc["kernel"].shape[1] * n_splitter != enc["kernel"].shape[1]:
+        enc["kernel"] = expand_encoder_kernel(jnp.asarray(enc["kernel"]), n_splitter, rng)
+    return params
+
+
+def _check_congruence(ref, got):
+    ref_shapes = jax.tree_util.tree_map(lambda a: jnp.shape(a), ref)
+    got_shapes = jax.tree_util.tree_map(lambda a: jnp.shape(a), got)
+    if ref_shapes != got_shapes:
+        raise ValueError(
+            "Error: mismatch model weights. Please check if the model "
+            "configuration matches the checkpoint."
+        )
+
+
+def create_pretrained_model(model_cfg: Mapping[str, Any], example_input, observer: bool | None = None):
+    """(model, variables): quantized model with loaded weights
+    (load_model.py:76-102)."""
+    q = quant_spec_from_cfg(model_cfg, observer)
+    model = create_model(model_cfg, q)
+    variables = load_pretrained_variables(model, model_cfg.get("model_path"), example_input)
+    return model, variables
+
+
+def create_model_and_teacher(model_cfg: Mapping[str, Any], pretrained: str | None, example_input):
+    """(qmodel, qvars, teacher, teacher_params) for KD training
+    (train_utils.py:8-27: float weights loaded, teacher deep-copied, then
+    the student is quantized)."""
+    q = quant_spec_from_cfg(model_cfg)
+    teacher = create_model(model_cfg, QuantSpec())
+    tvars = load_pretrained_variables(teacher, pretrained, example_input)
+    model = create_model(model_cfg, q)
+    qvars = dict(model.init(jax.random.PRNGKey(0), example_input))
+    if pretrained is not None:
+        params = tvars["params"]
+        if q.n_splitter >= 2:
+            params = _widen_splitter_params(params, qvars["params"], q.n_splitter)
+        _check_congruence(qvars["params"], params)
+        qvars["params"] = params
+    return model, qvars, teacher, tvars["params"]
+
+
+def _widen_splitter_params(float_params: dict, q_params_ref: dict, n_splitter: int) -> dict:
+    """Widen the encoder kernel of float params to the splitter width."""
+    import copy
+
+    from fqss_tpu.nn.io_layers import expand_encoder_kernel
+
+    params = copy.deepcopy(jax.tree_util.tree_map(jnp.asarray, float_params))
+    node = params
+    ref = q_params_ref
+    for key in ("encoder", "conv"):
+        if key in node:
+            node, ref = node[key], ref[key]
+    if "kernel" in node and node["kernel"].shape != ref["kernel"].shape:
+        node["kernel"] = expand_encoder_kernel(node["kernel"], n_splitter, jax.random.PRNGKey(1))
+    return params

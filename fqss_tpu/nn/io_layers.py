@@ -35,6 +35,7 @@ from fqss_tpu.nn.layers import (
     QConv2d,
     make_act_quantizer,
     make_weight_quantizer,
+    sow_macs,
     torch_uniform_init,
 )
 from fqss_tpu.quant.spec import FLOAT, QuantSpec
@@ -217,8 +218,7 @@ class QConvTr1dDecoder(nn.Module):
         if self.use_bias:
             b = self.param("bias", torch_uniform_init(bound), (self.features,))
             x0 = x0 + b
-        self.sow(MACS, "mac_op", jnp.asarray(
-            x.shape[0] * cin * self.features * x0.shape[1] * (self.kernel_size // self.stride), jnp.float32))
+        sow_macs(self, x.shape[0] * cin * self.features * x0.shape[1] * (self.kernel_size // self.stride))
         out_q = make_act_quantizer(
             self.q, enabled=self.q.out_quant, n_bits=self.q.out_act_n_bits,
             nl_quant=self.q.inout_nl_quant, name="activation_fake_quantize",
@@ -305,7 +305,7 @@ class QLinearDecoder(nn.Module):
         if self.use_bias:
             b = self.param("bias", torch_uniform_init(bound), (self.features,))
             x0 = x0 + b
-        self.sow(MACS, "mac_op", jnp.asarray(x.size * self.features, jnp.float32))
+        sow_macs(self, x.size * self.features)
         out_q = make_act_quantizer(
             self.q, enabled=self.q.out_quant, n_bits=self.q.out_act_n_bits,
             nl_quant=self.q.inout_nl_quant, name="activation_fake_quantize",

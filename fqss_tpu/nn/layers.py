@@ -39,6 +39,14 @@ Array = jax.Array
 MACS = "macs"
 
 
+def sow_macs(mod: nn.Module, value) -> None:
+    """Record an analytic MAC count (skipped during init so the macs
+    collection only exists when a caller asks for it via mutable=['macs'])."""
+    if not mod.is_initializing():
+        mod.sow(MACS, "mac_op", jnp.asarray(value, jnp.float32))
+
+
+
 # ---------------------------------------------------------------------------
 # Construction helpers
 # ---------------------------------------------------------------------------
@@ -158,8 +166,8 @@ class QConv1d(nn.Module):
             b = self.param("bias", torch_uniform_init(bound), (self.features,))
             y = y + b
         lo = y.shape[1]
-        self.sow(MACS, "mac_op", jnp.asarray(x.shape[0] * cin // self.groups * self.features * lo * self.kernel_size
-                                             + (2 * y.size if self.norm_groups else 0), jnp.float32))
+        sow_macs(self, x.shape[0] * cin // self.groups * self.features * lo * self.kernel_size
+                                             + (2 * y.size if self.norm_groups else 0))
         if self.norm_groups is not None:
             y = nn.GroupNorm(num_groups=self.norm_groups, epsilon=self.norm_eps, name="norm")(y)
         if self.nl:
@@ -209,8 +217,8 @@ class QConv2d(nn.Module):
         if self.use_bias:
             b = self.param("bias", torch_uniform_init(bound), (self.features,))
             y = y + b
-        self.sow(MACS, "mac_op", jnp.asarray(
-            x.shape[0] * (cin // self.groups) * self.features * y.shape[1] * y.shape[2] * k[0] * k[1], jnp.float32))
+        sow_macs(self, 
+            x.shape[0] * (cin // self.groups) * self.features * y.shape[1] * y.shape[2] * k[0] * k[1])
         if self.nl:
             y = Nl(self.nl, name="nl")(y)
         aq = make_act_quantizer(self.q, enabled=self.act_quant, n_bits=self.act_n_bits)
@@ -262,8 +270,8 @@ class QConvTranspose1d(nn.Module):
         if self.use_bias:
             b = self.param("bias", torch_uniform_init(bound), (self.features,))
             y = y + b
-        self.sow(MACS, "mac_op", jnp.asarray(
-            x.shape[0] * cin * self.features * y.shape[1] * (self.kernel_size // self.stride), jnp.float32))
+        sow_macs(self, 
+            x.shape[0] * cin * self.features * y.shape[1] * (self.kernel_size // self.stride))
         if self.nl:
             y = Nl(self.nl, name="nl")(y)
         aq = make_act_quantizer(self.q, enabled=self.act_quant, n_bits=self.act_n_bits)
@@ -315,9 +323,9 @@ class QConvTranspose2d(nn.Module):
         if self.use_bias:
             b = self.param("bias", torch_uniform_init(bound), (self.features,))
             y = y + b
-        self.sow(MACS, "mac_op", jnp.asarray(
+        sow_macs(self, 
             x.shape[0] * cin * self.features * y.shape[1] * y.shape[2]
-            * (k[0] // s[0]) * (k[1] // s[1]), jnp.float32))
+            * (k[0] // s[0]) * (k[1] // s[1]))
         if self.nl:
             y = Nl(self.nl, name="nl")(y)
         aq = make_act_quantizer(self.q, enabled=self.act_quant, n_bits=self.act_n_bits)
@@ -356,7 +364,7 @@ class QDense(nn.Module):
         if self.use_bias:
             b = self.param("bias", torch_uniform_init(bound), (self.features,))
             y = y + b
-        self.sow(MACS, "mac_op", jnp.asarray(x.size * self.features, jnp.float32))
+        sow_macs(self, x.size * self.features)
         if self.nl:
             y = Nl(self.nl, name="nl")(y)
         aq = make_act_quantizer(self.q, enabled=self.act_quant, n_bits=self.act_n_bits)
@@ -398,7 +406,7 @@ class QGroupNorm(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         y = nn.GroupNorm(num_groups=self.num_groups, epsilon=self.epsilon, name="norm")(x)
-        self.sow(MACS, "mac_op", jnp.asarray(2 * x.size, jnp.float32))
+        sow_macs(self, 2 * x.size)
         aq = make_act_quantizer(self.q, n_bits=self.act_n_bits)
         return aq(y) if aq is not None else y
 
@@ -413,7 +421,7 @@ class QLayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         y = nn.LayerNorm(epsilon=self.epsilon, name="norm")(x)
-        self.sow(MACS, "mac_op", jnp.asarray(2 * x.size, jnp.float32))
+        sow_macs(self, 2 * x.size)
         aq = make_act_quantizer(self.q, n_bits=self.act_n_bits)
         return aq(y) if aq is not None else y
 
@@ -438,7 +446,7 @@ class QBatchNorm(nn.Module):
             epsilon=self.epsilon,
             name="norm",
         )(x)
-        self.sow(MACS, "mac_op", jnp.asarray(x.size, jnp.float32))
+        sow_macs(self, x.size)
         aq = make_act_quantizer(self.q, n_bits=self.act_n_bits)
         return aq(y) if aq is not None else y
 
@@ -475,7 +483,7 @@ class _BinaryQ(nn.Module):
             y = x1 - x2
         elif self.op == "mul":
             y = x1 * x2
-            self.sow(MACS, "mac_op", jnp.asarray(max(x1.size, x2.size if hasattr(x2, "size") else 0), jnp.float32))
+            sow_macs(self, max(x1.size, x2.size if hasattr(x2, "size") else 0))
         elif self.op == "div":
             y = x1 / x2
         else:

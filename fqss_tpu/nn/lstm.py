@@ -1,0 +1,192 @@
+"""Quantized LSTM layers on lax.scan.
+
+TPU-native redesign of the reference's three LSTM quantization flavors
+(reference: quantization/qat/qat_layers.py:571-862):
+
+* ``mode='fused'``  — LSTMQ: per-channel fake-quantized weight matrices, the
+  recurrence itself in float, output fake-quantized. The input projection
+  ``x @ W_ih`` for ALL timesteps is hoisted out of the scan into one big
+  MXU matmul; only the serial ``h @ W_hh`` stays in the scan body.
+* ``mode='dynamic'`` — LSTMQ_dynamic: 12 dynamic (per-call min/max x0.99)
+  quantizer sites per direction on the cell's internal tensors, evaluated
+  per timestep inside the scan (stateless, jit-exact).
+* ``mode='static'``  — LSTMQ_static: the same 12 sites with learned static
+  ranges. Ranges are read once, threaded through the scan as constants; the
+  observer phase EMA-updates them per timestep through the scan carry,
+  faithful to the reference's per-call n_iter advance (a T-steps-per-batch
+  observer schedule).
+
+Gate order is torch's (i, f, g, o). Input/output: [B, T, C] (batch-first).
+Bidirectional output is [fwd ; bwd] concatenated on features.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from fqss_tpu.nn.layers import make_act_quantizer, make_weight_quantizer, torch_uniform_init
+from fqss_tpu.quant.fake_quant import linear_fake_quant
+from fqss_tpu.quant.quantizers import QPARAMS, QSTATS, dynamic_act_quant
+from fqss_tpu.quant.spec import FLOAT, QuantSpec
+
+Array = jax.Array
+
+# the reference's dynamic/static quantizer sites (qat_layers.py:631-655)
+_SITES = ("ih", "hh", "add0", "sig0", "sig1", "tanh0", "sig2", "mul0", "mul1", "add1", "tanh1", "mul2")
+
+
+def _cell_step(h, c, ih_t, hh, quant):
+    """One LSTM cell step with optional per-site fake quant.
+
+    ih_t: precomputed x_t @ W_ih + b_ih (+ b_hh folded); hh: h @ W_hh.
+    quant: site -> fn or None.
+    """
+
+    def q(site, v):
+        fn = quant.get(site)
+        return fn(v) if fn is not None else v
+
+    gates = q("add0", q("ih", ih_t) + q("hh", hh))
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    i = q("sig0", jax.nn.sigmoid(i))
+    f = q("sig1", jax.nn.sigmoid(f))
+    g = q("tanh0", jnp.tanh(g))
+    o = q("sig2", jax.nn.sigmoid(o))
+    c = q("add1", q("mul0", f * c) + q("mul1", i * g))
+    h = q("mul2", o * q("tanh1", jnp.tanh(c)))
+    return h, c
+
+
+class _LSTMDirection(nn.Module):
+    """One direction of the quantized LSTM recurrence."""
+
+    hidden_size: int
+    mode: str
+    reverse: bool
+    q: QuantSpec = FLOAT
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        B, T, C = x.shape
+        H = self.hidden_size
+        bound = 1.0 / jnp.sqrt(H).item()
+        w_ih = self.param("w_ih", torch_uniform_init(bound), (C, 4 * H))
+        w_hh = self.param("w_hh", torch_uniform_init(bound), (H, 4 * H))
+        b_ih = self.param("b_ih", torch_uniform_init(bound), (4 * H,))
+        b_hh = self.param("b_hh", torch_uniform_init(bound), (4 * H,))
+
+        wq_ih = make_weight_quantizer(self.q, (C, 4 * H), ch_axis=1, name="wq_ih")
+        wq_hh = make_weight_quantizer(self.q, (H, 4 * H), ch_axis=1, name="wq_hh")
+        if wq_ih is not None:
+            w_ih = wq_ih(w_ih)
+            w_hh = wq_hh(w_hh)
+
+        xs = jnp.flip(x, axis=1) if self.reverse else x
+        # Hoist the input projection out of the scan: one MXU matmul.
+        ih_all = jnp.einsum("btc,ch->bth", xs, w_ih) + b_ih + b_hh
+
+        quant_cfg = self.q.qat and self.q.act_quant and self.mode in ("dynamic", "static")
+        if self.mode == "dynamic" and quant_cfg:
+            dyn = partial(dynamic_act_quant, n_bits=self.q.act_n_bits)
+            site_ranges = None
+            quant = {s: dyn for s in _SITES}
+        elif self.mode == "static" and quant_cfg:
+            # Learned per-site ranges in qparams; EMA observer through the carry.
+            site_min = self.variable(
+                QPARAMS, "site_min", lambda: jnp.full((len(_SITES),), -0.5, jnp.float32)
+            )
+            site_max = self.variable(
+                QPARAMS, "site_max", lambda: jnp.full((len(_SITES),), 0.5, jnp.float32)
+            )
+            n_iter = self.variable(QSTATS, "site_n_iter", lambda: jnp.zeros((), jnp.int32))
+            site_ranges = (site_min, site_max, n_iter)
+            quant = None  # built per-step inside the scan
+        else:
+            site_ranges = None
+            quant = {}
+
+        h0 = jnp.zeros((B, H), x.dtype)
+        c0 = jnp.zeros((B, H), x.dtype)
+
+        if self.mode == "static" and quant_cfg and not self.is_initializing():
+            mn0 = site_min.value
+            mx0 = site_max.value
+            if not self.q.gradient_based:
+                mn0, mx0 = jax.lax.stop_gradient(mn0), jax.lax.stop_gradient(mx0)
+            observing = jnp.logical_and(
+                jnp.asarray(self.q.observer), n_iter.value < 50
+            )
+
+            def step(carry, ih_t):
+                h, c, mn, mx, cnt = carry
+                obs = jnp.logical_and(observing, cnt < 50)
+                new_stats = {}
+
+                def make_q(site):
+                    si = _SITES.index(site)
+
+                    def fn(v):
+                        vmin = jnp.min(jax.lax.stop_gradient(v))
+                        vmax = jnp.max(jax.lax.stop_gradient(v))
+                        new_stats[site] = (vmin, vmax)
+                        y = linear_fake_quant(
+                            v, mn[si], mx[si], self.q.act_n_bits, mn[si] < 0, False
+                        )
+                        return jnp.where(obs, v, y)
+
+                    return fn
+
+                qmap = {s: make_q(s) for s in _SITES}
+                hh = h @ w_hh
+                h, c = _cell_step(h, c, ih_t, hh, qmap)
+                bmin = jnp.stack([new_stats[s][0] for s in _SITES])
+                bmax = jnp.stack([new_stats[s][1] for s in _SITES])
+                mn = jnp.where(obs, 0.9 * mn + 0.1 * bmin, mn)
+                mx = jnp.where(obs, 0.9 * mx + 0.1 * bmax, mx)
+                cnt = cnt + obs.astype(jnp.int32)
+                return (h, c, mn, mx, cnt), h
+
+            (hT, cT, mnT, mxT, cntT), hs = jax.lax.scan(
+                step, (h0, c0, mn0, mx0, n_iter.value), jnp.swapaxes(ih_all, 0, 1)
+            )
+            if self.is_mutable_collection(QPARAMS):
+                site_min.value = mnT
+                site_max.value = mxT
+                if self.is_mutable_collection(QSTATS):
+                    n_iter.value = cntT
+        else:
+            def step(carry, ih_t):
+                h, c = carry
+                hh = h @ w_hh
+                h, c = _cell_step(h, c, ih_t, hh, quant or {})
+                return (h, c), h
+
+            (_, _), hs = jax.lax.scan(step, (h0, c0), jnp.swapaxes(ih_all, 0, 1))
+
+        hs = jnp.swapaxes(hs, 0, 1)  # [B, T, H]
+        return jnp.flip(hs, axis=1) if self.reverse else hs
+
+
+class QLSTM(nn.Module):
+    """Quantized (bi)LSTM -> output act-quant (qat_layers.py:571-613)."""
+
+    hidden_size: int
+    bidirectional: bool = True
+    mode: str = "fused"  # 'fused' | 'static' | 'dynamic'
+    q: QuantSpec = FLOAT
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        mode = self.mode if self.q.qat else "fused"
+        fwd = _LSTMDirection(self.hidden_size, mode, reverse=False, q=self.q, name="fw")(x)
+        if self.bidirectional:
+            bwd = _LSTMDirection(self.hidden_size, mode, reverse=True, q=self.q, name="bw")(x)
+            y = jnp.concatenate([fwd, bwd], axis=-1)
+        else:
+            y = fwd
+        aq = make_act_quantizer(self.q)
+        return aq(y) if aq is not None else y

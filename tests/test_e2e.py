@@ -1,0 +1,151 @@
+"""End-to-end slice: synthesize a mini LibriMix on disk, run the full speech
+QAT recipe (train.py path), then the val and infer paths — the integration
+test the reference never had (SURVEY.md §4)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fqss_tpu.data.librimix import LibriMix, batch_iterator, make_mini_librimix
+
+TINY_ARCH = dict(n_filters=32, bn_chan=8, hid_chan=16, n_blocks=2, n_repeats=1)
+
+
+def _smoke_conf(root, train_dir, val_dir):
+    return {
+        "work_dir": os.path.join(root, "work"),
+        "model_cfg": {
+            "name": "ConvTasNet",
+            "model_path": None,
+            "n_src": 2,
+            "kernel_size": 16,
+            "stride": 8,
+            **TINY_ARCH,
+            "quantization": {
+                "qat": True, "gradient_based": True,
+                "weight_quant": True, "weight_n_bits": 8,
+                "act_quant": True, "act_n_bits": 8,
+                "in_quant": False, "out_quant": True, "out_act_n_bits": 8,
+                "n_splitter": 2, "n_combiner": 2,
+                "observer": True,
+            },
+        },
+        "dataset_cfg": {
+            "name": "librimix", "task": "sep_clean",
+            "train_dir": train_dir, "valid_dir": val_dir,
+            "sample_rate": 8000, "resample": 1.0, "n_src": 2, "noisy": False,
+            "segment": 0.5,
+            "augmentation": {"enable": False},
+        },
+        "training_cfg": {
+            "epochs": 2, "batch_size": 2, "half_lr": True, "early_stop": True,
+            "pretrained": None, "seed": 0, "kd_lambda": 0.1,
+            "optim": {"optimizer": "adam", "lr": 0.001, "weight_decay": 0.0},
+        },
+        "testing_cfg": {"test_dir": None, "overlap": 0.25},
+    }
+
+
+@pytest.fixture(scope="module")
+def mini_dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("minilibrimix"))
+    train_dir, val_dir = make_mini_librimix(root, n_train=6, n_val=2, sample_rate=8000, seconds=0.6)
+    return root, train_dir, val_dir
+
+
+def test_librimix_dataset_and_iterator(mini_dataset):
+    _, train_dir, _ = mini_dataset
+    ds = LibriMix(train_dir, task="sep_clean", sample_rate=8000, n_src=2, segment=0.5)
+    assert len(ds) == 6
+    mix, src = ds[0]
+    assert mix.shape == (4000,) and src.shape == (2, 4000)
+    batches = list(batch_iterator(ds, batch_size=2, seed=0))
+    assert len(batches) == 3
+    assert batches[0][0].shape == (2, 4000) and batches[0][1].shape == (2, 2, 4000)
+
+
+def test_librimix_augmentation(mini_dataset):
+    _, train_dir, _ = mini_dataset
+    aug = {"enable": True, "distribution": "uniform", "param0": -5, "param1": 5, "prob": 1.0}
+    ds = LibriMix(train_dir, task="sep_clean", sample_rate=8000, n_src=2, segment=0.5, augmentation_cfg=aug)
+    mix, src = ds[0]
+    # augmented mixture is a re-gained sum, not the stored mixture
+    assert np.abs(mix).max() <= 0.9 + 1e-6
+    assert mix.shape == (4000,)
+
+
+def test_train_speech_recipe_end_to_end(mini_dataset):
+    root, train_dir, val_dir = mini_dataset
+    conf = _smoke_conf(root, train_dir, val_dir)
+    from fqss_tpu.train.recipes import train_speech
+
+    result = train_speech(conf, env_name="asteroid")
+    assert np.isfinite(result["best_val_loss"])
+    work = conf["work_dir"]
+    assert os.path.exists(os.path.join(work, "conf.yml"))
+    assert os.path.exists(os.path.join(work, "best_model.npz"))
+    assert os.path.exists(os.path.join(work, "latest_model.npz"))
+    assert os.path.exists(os.path.join(work, "results.txt"))
+    hist = json.load(open(os.path.join(work, "history.json")))
+    assert len(hist) == 2
+
+    # --- val path: reload the exported model and evaluate programmatically
+    from fqss_tpu.models.factory import create_pretrained_model
+
+    model_cfg = dict(conf["model_cfg"])
+    model_cfg["model_path"] = os.path.join(work, "best_model.npz")
+    example = jnp.zeros((1, 4000), jnp.float32)
+    model, variables = create_pretrained_model(model_cfg, example, observer=False)
+
+    import jax
+
+    apply_fn = jax.jit(lambda x: model.apply(variables, x))
+    from fqss_tpu.separation.ola import ola_infer
+
+    mix, _ = LibriMix(val_dir, task="sep_clean", sample_rate=8000, n_src=2, segment=None)[0]
+    out = ola_infer(apply_fn, mix[None, :], n_srcs=2, segment=4000, overlap=0.25)
+    assert out.shape == (2, mix.shape[-1])
+    assert np.isfinite(out).all()
+
+
+def test_cli_help_surfaces():
+    """The three CLIs exist with the reference's flags."""
+    for cli, flags in (("train.py", "-env"), ("val.py", "-y"), ("infer.py", "-a")):
+        proc = subprocess.run(
+            [sys.executable, cli, "--help"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert proc.returncode == 0, proc.stderr
+        assert flags in proc.stdout
+
+
+def test_config_loader_reference_schema(tmp_path):
+    from fqss_tpu.utils.config import load_config_str
+
+    conf = load_config_str(
+        """
+work_dir: /tmp/x
+batch_size: 4
+lr: 0.001
+model_cfg:
+  n_src: 2
+num_spks: !ref <model_cfg[n_src]>
+train_log: !ref <work_dir>/train_log.txt
+opt: !name:torch.optim.Adam
+  lr: !ref <lr>
+dataloader_opts:
+  batch_size: !ref <batch_size>
+"""
+    )
+    assert conf["num_spks"] == 2
+    assert conf["train_log"] == "/tmp/x/train_log.txt"
+    assert conf["opt"]["_target_"] == "torch.optim.Adam"
+    assert conf["opt"]["lr"] == 0.001
+    assert conf["dataloader_opts"]["batch_size"] == 4
