@@ -25,6 +25,13 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "dp", devices=None)
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"Requested a {n_devices}-device mesh but only {len(devices)} "
+                f"devices are visible ({devices}). For virtual CPU devices set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N and force "
+                "jax.config.update('jax_platforms', 'cpu') before first use."
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

@@ -95,7 +95,13 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
     tx = make_optimizer(cfg)
     state = create_train_state(qvars, tx, teacher_params=teacher_params)
 
-    mesh = make_mesh()
+    # Data-parallel mesh over the largest device count that divides the batch
+    # (the reference's DDP requires batch % world_size == 0 the same way,
+    # musdbhq_train.py:294).
+    n_dev = len(jax.devices())
+    while batch_size % n_dev != 0:
+        n_dev -= 1
+    mesh = make_mesh(n_dev)
     state = jax.device_put(state, replicated_sharding(mesh))
     train_step = make_train_step(model, teacher, tx, cfg)
     eval_step = make_eval_step(model)

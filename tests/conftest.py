@@ -15,4 +15,8 @@ os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "highest")
 
 import jax  # noqa: E402
 
+# The axon TPU plugin pre-sets jax.config.jax_platforms to "axon,cpu", which
+# OVERRIDES the JAX_PLATFORMS env var — force the CPU platform explicitly or
+# the whole suite silently runs single-device on the tunneled TPU.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
