@@ -331,3 +331,114 @@ class QLinearDecoder(nn.Module):
             y = res_out_q(x) if res_out_q is not None else x
             outs.append(y)
         return jnp.stack(outs)
+
+
+class _ResidualErrorBlock2d(nn.Module):
+    """Combiner residual block for ConvTranspose2d decoders
+    (ResidualErrorBlock, qat_layers.py:1147-1169, 1203-1217). NHWC."""
+
+    latent_features: int
+    out_features: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int]
+    use_bias: bool = True
+    q: QuantSpec = FLOAT
+
+    @nn.compact
+    def __call__(self, Y: Array, y_q: Array, w_decoder: Array) -> Array:
+        Y_q = QConv2d(
+            features=self.latent_features,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            use_bias=self.use_bias,
+            q=self.q,
+            act_quant=False,
+            name="residual_encoder",
+        )(y_q)
+        res_q = make_act_quantizer(self.q, n_bits=self.q.act_n_bits, name="activation_fake_quantize")
+        Y1 = Y - Y_q
+        if res_q is not None:
+            Y1 = res_q(Y1)
+        kh, kw = self.kernel_size
+        if self.q.train_res_dec:
+            wshape = (kh, kw, self.latent_features, self.out_features)
+            bound = 1.0 / math.sqrt(self.out_features * kh * kw)
+            w_dec = self.param("residual_decoder_kernel", torch_uniform_init(bound), wshape)
+            wq = make_weight_quantizer(self.q, wshape, ch_axis=3, name="weight_fake_quantize_dec")
+            if wq is not None:
+                w_dec = wq(w_dec)
+        else:
+            w_dec = w_decoder
+        pads = [(kh - 1, kh - 1), (kw - 1, kw - 1)]
+        return lax.conv_general_dilated(
+            Y1,
+            jnp.flip(w_dec, axis=(0, 1)),
+            window_strides=(1, 1),
+            padding=pads,
+            lhs_dilation=self.stride,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
+class QConvTr2dDecoder(nn.Module):
+    """ConvTranspose2d decoder -> out-quant [+ combiner planes]
+    (ConvTr2dDecoderQ, qat_layers.py:1364-1421). NHWC.
+
+    Returns [B, H, W, F] or [n_combiner, B, H, W, F]."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int]
+    use_bias: bool = True
+    q: QuantSpec = FLOAT
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cin = x.shape[-1]
+        kh, kw = self.kernel_size
+        wshape = (kh, kw, cin, self.features)
+        bound = 1.0 / math.sqrt(self.features * kh * kw)
+        w = self.param("kernel", torch_uniform_init(bound), wshape)
+        wq = make_weight_quantizer(self.q, wshape, ch_axis=3)
+        w_decoder = wq(w) if wq is not None else w
+        pads = [(kh - 1, kh - 1), (kw - 1, kw - 1)]
+        x0 = lax.conv_general_dilated(
+            x,
+            jnp.flip(w_decoder, axis=(0, 1)),
+            window_strides=(1, 1),
+            padding=pads,
+            lhs_dilation=self.stride,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", torch_uniform_init(bound), (self.features,))
+            x0 = x0 + b
+        sow_macs(self, 1.0 * x.shape[0] * cin * self.features * x0.shape[1] * x0.shape[2]
+                 * (kh // self.stride[0]) * max(kw // self.stride[1], 1))
+        out_q = make_act_quantizer(
+            self.q, enabled=self.q.out_quant, n_bits=self.q.out_act_n_bits,
+            nl_quant=self.q.inout_nl_quant, name="activation_fake_quantize",
+        )
+        y = out_q(x0) if out_q is not None else x0
+        if self.q.n_combiner == 1:
+            return y
+
+        reb = _ResidualErrorBlock2d(
+            latent_features=cin,
+            out_features=self.features,
+            kernel_size=self.kernel_size,
+            stride=self.stride,
+            use_bias=self.use_bias,
+            q=self.q,
+            name="residual_error_block",
+        )
+        res_out_q = make_act_quantizer(
+            self.q, enabled=self.q.out_quant, n_bits=self.q.out_act_n_bits,
+            name="activation_fake_quantize_residual",
+        )
+        outs = [y]
+        for _ in range(1, self.q.n_combiner):
+            x = reb(x, y, w_decoder)
+            y = res_out_q(x) if res_out_q is not None else x
+            outs.append(y)
+        return jnp.stack(outs)

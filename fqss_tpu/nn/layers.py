@@ -177,7 +177,8 @@ class QConv1d(nn.Module):
 
 
 class QConv2d(nn.Module):
-    """Fused fake-quant Conv2d [+NL] [+act-quant] (qat_layers.py:156-293). NHWC."""
+    """Fused fake-quant Conv2d [+GroupNorm] [+NL] [+act-quant]
+    (qat_layers.py:156-293). NHWC."""
 
     features: int
     kernel_size: int | tuple[int, int]
@@ -187,6 +188,8 @@ class QConv2d(nn.Module):
     groups: int = 1
     use_bias: bool = True
     nl: str | None = None
+    norm_groups: int | None = None
+    norm_eps: float = 1e-5
     q: QuantSpec = FLOAT
     act_quant: bool | None = None
     act_n_bits: int | None = None
@@ -219,6 +222,8 @@ class QConv2d(nn.Module):
             y = y + b
         sow_macs(self, 
             x.shape[0] * (cin // self.groups) * self.features * y.shape[1] * y.shape[2] * k[0] * k[1])
+        if self.norm_groups is not None:
+            y = nn.GroupNorm(num_groups=self.norm_groups, epsilon=self.norm_eps, name="norm")(y)
         if self.nl:
             y = Nl(self.nl, name="nl")(y)
         aq = make_act_quantizer(self.q, enabled=self.act_quant, n_bits=self.act_n_bits)
