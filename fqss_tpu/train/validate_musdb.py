@@ -1,0 +1,111 @@
+"""MUSDB18-HQ evaluation loops (reference: val.py:95-181).
+
+``val_musdbhq_nsdr`` computes the MDX-definition NSDR per stem;
+``val_musdbhq`` computes museval-style SDR: per-second framewise
+BSS-eval SDR with a distortion-filter projection (the FIR-projection SDR
+in fqss_tpu.separation.metrics with museval's 512-tap window), aggregated
+median-over-frames then median-over-tracks like museval's
+``agg_frames_tracks_scores``.
+
+Tracks live in the musdb directory layout: <root>/test/<track>/{mixture,
+drums, bass, other, vocals}.wav (is_wav=True in the reference).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fqss_tpu.separation.metrics import sdr_db
+from fqss_tpu.separation.ola import ola_infer
+from fqss_tpu.separation.losses import nsdr_db
+from fqss_tpu.utils.audio import read_audio
+
+
+def list_musdb_tracks(root: str, subset: str = "test") -> list[str]:
+    d = os.path.join(root, subset)
+    tracks = sorted(
+        t for t in os.listdir(d)
+        if os.path.isdir(os.path.join(d, t)) and os.path.exists(os.path.join(d, t, "mixture.wav"))
+    )
+    assert len(tracks) > 0, "Dataset is missing files!"
+    return [os.path.join(d, t) for t in tracks]
+
+
+def _separate_track(model, variables, track_dir: str, sources, testing_cfg, train_flag=False):
+    mix, fs = read_audio(os.path.join(track_dir, "mixture.wav"))  # [C, T]
+    ref = mix.mean(axis=0)
+    mix_mean, mix_std = float(ref.mean()), float(ref.std())
+    mix_n = (mix - mix_mean) / mix_std
+
+    from fqss_tpu.models.htdemucs import HTDemucs
+
+    if isinstance(model, HTDemucs):
+        apply_fn = jax.jit(lambda x: model.apply(variables, x, train=False))
+    else:
+        apply_fn = jax.jit(lambda x: model.apply(variables, x))
+    seps = ola_infer(
+        apply_fn, mix_n, n_srcs=len(sources),
+        segment=testing_cfg.get("segment_samples"),
+        overlap=testing_cfg.get("overlap", 0.25),
+    )
+    return seps * mix_std + mix_mean, fs
+
+
+def val_musdbhq_nsdr(model, variables, model_cfg: Mapping[str, Any], testing_cfg: Mapping[str, Any], limit=None):
+    """Mean NSDR + per-stem NSDRs (val.py:95-132)."""
+    sources = tuple(model_cfg.get("sources", ["drums", "bass", "other", "vocals"]))
+    tracks = list_musdb_tracks(testing_cfg["test_dir"])
+    if limit:
+        tracks = tracks[:limit]
+    sdrs = np.zeros((len(sources), len(tracks)))
+    for j, track in enumerate(tracks):
+        seps, _ = _separate_track(model, variables, track, sources, testing_cfg)
+        for i, src in enumerate(sources):
+            ref_audio, _ = read_audio(os.path.join(track, f"{src}.wav"))
+            sep = seps[i][..., : ref_audio.shape[-1]]
+            sdrs[i, j] = float(nsdr_db(jnp.asarray(ref_audio.reshape(1, -1)), jnp.asarray(np.asarray(sep).reshape(1, -1)))[0])
+        if j % 10 == 0:
+            print(f"\n****** Track {j + 1}/{len(tracks)} ******")
+            for i, src in enumerate(sources):
+                print(f"{src}: NSDR={sdrs[i, j]:0.3f}")
+    per_src = sdrs.mean(axis=1)
+    return (float(per_src.mean()), *[float(v) for v in per_src])
+
+
+def val_musdbhq(model, variables, model_cfg: Mapping[str, Any], testing_cfg: Mapping[str, Any], limit=None):
+    """museval-style SDR (val.py:134-181): 1s frames, FIR-projection SDR,
+    median over frames then median over tracks per stem."""
+    sources = tuple(model_cfg.get("sources", ["drums", "bass", "other", "vocals"]))
+    tracks = list_musdb_tracks(testing_cfg["test_dir"])
+    if limit:
+        tracks = tracks[:limit]
+    track_scores = np.zeros((len(sources), len(tracks)))
+    for j, track in enumerate(tracks):
+        seps, fs = _separate_track(model, variables, track, sources, testing_cfg)
+        win = fs  # museval default 1s windows
+        for i, src in enumerate(sources):
+            ref_audio, _ = read_audio(os.path.join(track, f"{src}.wav"))
+            t_len = min(ref_audio.shape[-1], seps.shape[-1])
+            ref = ref_audio[..., :t_len]
+            sep = np.asarray(seps[i])[..., :t_len]
+            n_frames = t_len // win
+            vals = []
+            for f in range(max(n_frames, 1)):
+                sl = slice(f * win, min((f + 1) * win, t_len))
+                r = jnp.asarray(ref[..., sl].reshape(-1))
+                s = jnp.asarray(sep[..., sl].reshape(-1))
+                if float(jnp.sum(r**2)) < 1e-10:
+                    continue  # museval skips silent reference frames
+                vals.append(float(sdr_db(s, r, filter_length=512)))
+            track_scores[i, j] = float(np.median(vals)) if vals else np.nan
+        if j % 10 == 0:
+            print(f"track {j + 1}/{len(tracks)}: " + ", ".join(
+                f"{s}={track_scores[i, j]:0.2f}" for i, s in enumerate(sources)))
+    per_src = np.nanmedian(track_scores, axis=1)
+    return (float(per_src.mean()), *[float(v) for v in per_src])
