@@ -297,3 +297,93 @@ class HDecLayer(nn.Module):
         else:
             z = z[..., pad : pad + length, :]
         return z, y
+
+
+class BLSTM(nn.Module):
+    """Chunked BiLSTM with overlap framing (demucsq.py:42-91).
+
+    [B, T, C] -> [B, T, C]. When T > max_steps the input is unfolded into
+    50%-overlapping frames of max_steps, the LSTM runs per frame, and the
+    outputs are stitched back keeping each frame's center region.
+    """
+
+    dim: int
+    layers: int = 1
+    max_steps: int | None = None
+    skip: bool = False
+    q: QuantSpec = FLOAT
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from fqss_tpu.nn import QDense
+        from fqss_tpu.nn.lstm import QLSTM
+
+        b, t, c = x.shape
+        y0 = x
+        framed = False
+        if self.max_steps is not None and t > self.max_steps:
+            width = self.max_steps
+            stride = width // 2
+            nframes = max(0, (t - width + stride - 1) // stride) + 1
+            pad_to = (nframes - 1) * stride + width
+            xp = jnp.pad(x, ((0, 0), (0, pad_to - t), (0, 0)))
+            idx = np.arange(nframes)[:, None] * stride + np.arange(width)[None, :]
+            x = xp[:, idx, :].reshape(b * nframes, width, c)
+            framed = True
+
+        h = x
+        for layer in range(self.layers):
+            h = QLSTM(self.dim, bidirectional=True, mode=self.q.lstm_mode, q=self.q,
+                      name=f"lstm_{layer}")(h)
+            if layer < self.layers - 1:
+                h = QDense(self.dim, q=self.q, name=f"proj_{layer}")(h)
+        h = QDense(self.dim, q=self.q, name="linear")(h)
+
+        if framed:
+            frames = h.reshape(b, nframes, width, self.dim)
+            limit = stride // 2
+            out = [frames[:, 0, :-limit]]
+            for k in range(1, nframes - 1):
+                out.append(frames[:, k, limit:-limit])
+            if nframes > 1:
+                out.append(frames[:, nframes - 1, limit:])
+            h = jnp.concatenate(out, axis=1)[:, :t]
+        if self.skip:
+            h = QAdd(q=self.q, name="add")(h, y0)
+        return h
+
+
+class LocalState(nn.Module):
+    """Decaying local attention (demucsq.py:185-244). [B, T, C].
+
+    Content/query/key 1x1 convs; attention logits get a learned per-head
+    decay penalty on |i-j|; self-reference masked at -100.
+    """
+
+    channels: int
+    heads: int = 4
+    ndecay: int = 4
+    q: QuantSpec = FLOAT
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, t, c = x.shape
+        h = self.heads
+        d = c // h
+        queries = QConv1d(c, 1, q=self.q, act_quant=False, name="query")(x).reshape(b, t, h, d)
+        keys = QConv1d(c, 1, q=self.q, act_quant=False, name="key")(x).reshape(b, t, h, d)
+        dots = jnp.einsum("bthd,bshd->bhts", keys, queries) / math.sqrt(d)
+
+        if self.ndecay:
+            decay_q = QConv1d(h * self.ndecay, 1, q=self.q, act_quant=False, name="query_decay")(x)
+            decay_q = jax.nn.sigmoid(decay_q.reshape(b, t, h, self.ndecay)) / 2.0
+            delta = jnp.abs(jnp.arange(t)[:, None] - jnp.arange(t)[None, :]).astype(x.dtype)
+            decays = jnp.arange(1, self.ndecay + 1, dtype=x.dtype)
+            decay_kernel = -decays[:, None, None] * delta[None] / math.sqrt(self.ndecay)
+            dots = dots + jnp.einsum("fts,bshf->bhts", decay_kernel, decay_q)
+
+        dots = jnp.where(jnp.eye(t, dtype=bool)[None, None], -100.0, dots)
+        weights = jax.nn.softmax(dots, axis=2)
+        content = QConv1d(c, 1, q=self.q, act_quant=False, name="content")(x).reshape(b, t, h, d)
+        result = jnp.einsum("bhts,bthd->bshd", weights, content).reshape(b, t, c)
+        return x + QConv1d(c, 1, q=self.q, act_quant=False, name="proj")(result)
