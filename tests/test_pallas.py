@@ -1,0 +1,85 @@
+"""Pallas kernel correctness vs the XLA quant-core reference (interpret mode
+on CPU; the same kernels compile natively on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fqss_tpu.quant import linear_fake_quant
+
+# Force interpret mode on the CPU test platform.
+from jax.experimental import pallas as pl  # noqa: F401
+import jax._src.pallas.pallas_call as pallas_call_mod
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_fake_quant_pallas_matches_reference():
+    from fqss_tpu.ops.pallas_quant import fake_quant_pallas
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((37, 300)).astype(np.float32)
+    mn, mx = jnp.float32(-0.7), jnp.float32(1.2)
+    got = np.asarray(fake_quant_pallas(jnp.asarray(x), mn, mx, n_bits=8))
+    want = np.asarray(linear_fake_quant(jnp.asarray(x), mn, mx, 8, True, False))
+    # one-ULP division differences flip grid points exactly at .5 ties;
+    # allow <=0.05% one-LSB mismatches (same tolerance as the torch tests)
+    delta = (1.2 + 0.7) / 255
+    bad = np.abs(got - want) > 1e-6
+    assert bad.mean() < 5e-4, bad.mean()
+    assert np.abs(got - want)[bad].max() <= delta * 1.01 if bad.any() else True
+
+
+def test_qmatmul_pallas_matches_reference():
+    from fqss_tpu.ops.pallas_quant import qmatmul_pallas
+
+    rng = np.random.default_rng(1)
+    m, k, n = 64, 96, 80
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w = rng.standard_normal((k, n)).astype(np.float32)
+    w_min = w.min(axis=0)
+    w_max = w.max(axis=0)
+    a_min, a_max = jnp.float32(-4.0), jnp.float32(4.0)
+
+    got = qmatmul_pallas(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(w_min), jnp.asarray(w_max),
+        a_min, a_max, tm=64, tn=128,
+    )
+    wq = linear_fake_quant(jnp.asarray(w), jnp.asarray(w_min)[None], jnp.asarray(w_max)[None], 8, True, True)
+    want = np.asarray(linear_fake_quant(jnp.asarray(x) @ wq, a_min, a_max, 8, True, False))
+    got = np.asarray(got)
+    # ULP ties can flip a handful of weight levels between backends, which
+    # shifts those output columns by one act-LSB; bound by one LSB + the
+    # weight-level shift, and require the bulk to agree exactly.
+    delta_a = 8.0 / 255
+    err = np.abs(got - want)
+    assert np.median(err) < 1e-6
+    assert err.max() <= 1.6 * delta_a, err.max()
+
+
+def test_qmatmul_pallas_no_act_quant():
+    from fqss_tpu.ops.pallas_quant import qmatmul_pallas
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((16, 32)).astype(np.float32)
+    w = rng.standard_normal((32, 48)).astype(np.float32)
+    got = qmatmul_pallas(
+        jnp.asarray(x), jnp.asarray(w),
+        jnp.asarray(w.min(0)), jnp.asarray(w.max(0)),
+        act_quant=False, tm=16, tn=128,
+    )
+    wq = linear_fake_quant(jnp.asarray(w), jnp.asarray(w.min(0))[None], jnp.asarray(w.max(0))[None], 8, True, True)
+    want = np.asarray(jnp.asarray(x) @ wq)
+    got = np.asarray(got)
+    # weight-grid ULP ties can flip one weight level; bound by its effect
+    err = np.abs(got - want)
+    assert np.median(err) < 1e-5
+    assert err.max() < 0.1, err.max()
