@@ -53,16 +53,18 @@ def test_qmatmul_pallas_matches_reference():
         jnp.asarray(x), jnp.asarray(w), jnp.asarray(w_min), jnp.asarray(w_max),
         a_min, a_max, tm=64, tn=128,
     )
-    wq = linear_fake_quant(jnp.asarray(w), jnp.asarray(w_min)[None], jnp.asarray(w_max)[None], 8, True, True)
-    want = np.asarray(linear_fake_quant(jnp.asarray(x) @ wq, a_min, a_max, 8, True, False))
+    # Reference with the SAME in-kernel weight grid (isolates the act
+    # epilogue from cross-backend ULP ties in the weight division).
+    from fqss_tpu.ops.pallas_quant import qmatmul_pallas as _qmm
+
+    pre = np.asarray(_qmm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(w_min), jnp.asarray(w_max),
+                          act_quant=False, tm=64, tn=128))
+    want = np.asarray(linear_fake_quant(jnp.asarray(pre), a_min, a_max, 8, True, False))
     got = np.asarray(got)
-    # ULP ties can flip a handful of weight levels between backends, which
-    # shifts those output columns by one act-LSB; bound by one LSB + the
-    # weight-level shift, and require the bulk to agree exactly.
     delta_a = 8.0 / 255
     err = np.abs(got - want)
     assert np.median(err) < 1e-6
-    assert err.max() <= 1.6 * delta_a, err.max()
+    assert err.max() <= 1.01 * delta_a, err.max()  # act rounding-tie flips only
 
 
 def test_qmatmul_pallas_no_act_quant():
