@@ -53,3 +53,35 @@ def augmentation_3mix(rng: np.random.Generator, s1, s2, s3, cfg: dict) -> np.nda
         snr2_3 = rng.uniform(cfg.get("param0"), cfg.get("param1"))
         return generate_3mix_snr(s1, s2, s3, snr1_23, snr2_3)
     raise ValueError(f"Augmentation distribution not supported: {cfg.get('distribution')}")
+
+
+def speed_perturb(rng: np.random.Generator, wav: np.ndarray, speeds=(95, 100, 105)) -> np.ndarray:
+    """Speed perturbation by resampling (the speechbrain recipe's
+    TimeDomainSpecAugment speed-perturb, speechbrain_librimix_trainer.py's
+    augment path). Host-side; output length varies with the chosen speed."""
+    from fqss_tpu.utils.audio import resample_audio
+
+    speed = int(rng.choice(list(speeds)))
+    if speed == 100:
+        return wav
+    return resample_audio(wav, 100, speed)
+
+
+def repitch(rng: np.random.Generator, wav: np.ndarray, max_pitch: int = 2, max_tempo: float = 12.0,
+            sample_rate: int = 44100) -> np.ndarray:
+    """Repitch/retempo augmentation (the htdemucs recipe's RepitchedWrapper):
+    approximated by polyphase resampling with a random combined
+    pitch (semitones) + tempo (percent) factor, then length restored by crop
+    or pad. Host-side."""
+    from fqss_tpu.utils.audio import resample_audio
+
+    semitones = rng.integers(-max_pitch, max_pitch + 1)
+    tempo = rng.uniform(-max_tempo, max_tempo)
+    factor = (2.0 ** (semitones / 12.0)) * (1.0 + tempo / 100.0)
+    if abs(factor - 1.0) < 1e-3:
+        return wav
+    t = wav.shape[-1]
+    out = resample_audio(wav, 1000, max(1, int(round(1000 * factor))))
+    if out.shape[-1] >= t:
+        return out[..., :t]
+    return np.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, t - out.shape[-1])])

@@ -387,3 +387,24 @@ class LocalState(nn.Module):
         content = QConv1d(c, 1, q=self.q, act_quant=False, name="content")(x).reshape(b, t, h, d)
         result = jnp.einsum("bhts,bthd->bshd", weights, content).reshape(b, t, c)
         return x + QConv1d(c, 1, q=self.q, act_quant=False, name="proj")(result)
+
+
+def rescale_params(params, reference: float = 0.1):
+    """Demucs weight-rescaling init trick (demucsq.py:94-107 rescale_module):
+    every conv/dense kernel (and its bias) is divided by
+    sqrt(std(kernel)/reference). Apply once after init, before training."""
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        out = {k: walk(v) for k, v in node.items()}
+        if "kernel" in out and not isinstance(out["kernel"], dict):
+            k = jnp.asarray(out["kernel"])
+            std = jnp.std(k)
+            scale = jnp.where(std > 0, jnp.sqrt(std / reference), 1.0)
+            out["kernel"] = k / scale
+            if "bias" in out and not isinstance(out["bias"], dict):
+                out["bias"] = jnp.asarray(out["bias"]) / scale
+        return out
+
+    return walk(params)

@@ -177,26 +177,35 @@ def create_model_and_teacher(model_cfg: Mapping[str, Any], pretrained: str | Non
     model = create_model(model_cfg, q)
     qvars = dict(model.init(jax.random.PRNGKey(0), example_input))
     if pretrained is not None:
-        params = tvars["params"]
-        if q.n_splitter >= 2:
-            params = _widen_splitter_params(params, qvars["params"], q.n_splitter)
-        _check_congruence(qvars["params"], params)
-        qvars["params"] = params
+        qvars["params"] = merge_float_params(qvars["params"], tvars["params"], q.n_splitter)
     return model, qvars, teacher, tvars["params"]
 
 
-def _widen_splitter_params(float_params: dict, q_params_ref: dict, n_splitter: int) -> dict:
-    """Widen the encoder kernel of float params to the splitter width."""
-    import copy
+def merge_float_params(q_init_params: dict, float_params: dict, n_splitter: int = 1) -> dict:
+    """Load float-teacher weights into a QAT param tree.
 
+    Shared parameters are overwritten from the float model; QAT-only
+    parameters (combiner residual blocks, etc.) keep their init; the encoder
+    kernel is splitter-widened with Gaussian-matched channels
+    (qat_layers.py:1009-1026) when the shapes differ.
+    """
     from fqss_tpu.nn.io_layers import expand_encoder_kernel
 
-    params = copy.deepcopy(jax.tree_util.tree_map(jnp.asarray, float_params))
-    node = params
-    ref = q_params_ref
-    for key in ("encoder", "conv"):
-        if key in node:
-            node, ref = node[key], ref[key]
-    if "kernel" in node and node["kernel"].shape != ref["kernel"].shape:
-        node["kernel"] = expand_encoder_kernel(node["kernel"], n_splitter, jax.random.PRNGKey(1))
-    return params
+    def walk(qnode, fnode):
+        if not isinstance(qnode, dict):
+            qv = jnp.asarray(qnode)
+            fv = jnp.asarray(fnode)
+            if qv.shape == fv.shape:
+                return fv
+            if qv.ndim == 3 and fv.ndim == 3 and qv.shape[1] == n_splitter * fv.shape[1]:
+                return expand_encoder_kernel(fv, n_splitter, jax.random.PRNGKey(1))
+            raise ValueError(
+                f"Error: mismatch model weights ({fv.shape} vs {qv.shape}). "
+                "Please check if the model configuration matches the checkpoint."
+            )
+        out = {}
+        for k, qv in qnode.items():
+            out[k] = walk(qv, fnode[k]) if (isinstance(fnode, dict) and k in fnode) else qv
+        return out
+
+    return walk(q_init_params, float_params)

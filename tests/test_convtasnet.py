@@ -107,3 +107,36 @@ def test_float_parity_with_reference_torch_model():
         yt = tm(torch.tensor(x)).numpy()
     assert y.shape == yt.shape
     np.testing.assert_allclose(np.asarray(y), yt, rtol=1e-3, atol=2e-4)
+
+
+def test_merge_float_params_into_qat_tree():
+    """Float->QAT weight loading keeps QAT-only params and widens the encoder
+    (regression: the combiner's residual block params must survive)."""
+    from fqss_tpu.models.factory import merge_float_params
+
+    kw = dict(n_srcs=2, kernel_size=16, stride=8, n_filters=16, bn_chan=8,
+              hid_chan=8, n_blocks=1, n_repeats=1)
+    x = jnp.zeros((1, 2000))
+    fmodel = ConvTasNet(**kw)
+    fparams = fmodel.init(jax.random.PRNGKey(0), x)["params"]
+
+    q = QuantSpec(qat=True, observer=True, n_splitter=2, n_combiner=2, out_quant=True)
+    qmodel = ConvTasNet(q=q, **kw)
+    qvars = dict(qmodel.init(jax.random.PRNGKey(1), x))
+    merged = merge_float_params(qvars["params"], fparams, 2)
+
+    # QAT-only combiner params preserved
+    assert "residual_error_block" in merged["decoder"]
+    # encoder widened 1 -> 2 input channels, first block equals float kernel
+    ek = merged["encoder"]["conv"]["kernel"]
+    assert ek.shape[1] == 2
+    np.testing.assert_array_equal(np.asarray(ek[:, :1]), np.asarray(fparams["encoder"]["conv"]["kernel"]))
+    # shared weights copied exactly
+    np.testing.assert_array_equal(
+        np.asarray(merged["masker"]["bottleneck_conv"]["kernel"]),
+        np.asarray(fparams["masker"]["bottleneck_conv"]["kernel"]),
+    )
+    # the merged tree must run
+    qvars["params"] = merged
+    y = qmodel.apply(qvars, jax.random.uniform(jax.random.PRNGKey(2), (1, 2000), minval=-1, maxval=1))
+    assert bool(jnp.isfinite(y).all())
