@@ -80,3 +80,129 @@ def convtasnet_params_from_torch(sd: Mapping[str, np.ndarray], n_repeats: int = 
     params["masker"] = masker
     params["decoder"] = {"kernel": convt1d_w(sd["decoder.weight"])}
     return params
+
+
+def _gn(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    return {"norm": {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}}
+
+
+def _mha(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    return {
+        "in_proj_kernel": linear_w(sd[f"{prefix}.in_proj_weight"]),
+        "in_proj_bias": sd[f"{prefix}.in_proj_bias"],
+        "out_proj_kernel": linear_w(sd[f"{prefix}.out_proj.weight"]),
+        "out_proj_bias": sd[f"{prefix}.out_proj.bias"],
+    }
+
+
+def _lstm_dir(sd: Mapping[str, np.ndarray], prefix: str, suffix: str) -> dict:
+    return {
+        "w_ih": linear_w(sd[f"{prefix}.weight_ih_l0{suffix}"]),
+        "w_hh": linear_w(sd[f"{prefix}.weight_hh_l0{suffix}"]),
+        "b_ih": sd[f"{prefix}.bias_ih_l0{suffix}"],
+        "b_hh": sd[f"{prefix}.bias_hh_l0{suffix}"],
+    }
+
+
+def dptnet_params_from_torch(sd: Mapping[str, np.ndarray], layer: int = 6) -> dict:
+    """Map a reference float DPTNetQ state_dict (dptnetq.py:311-428) onto
+    fqss_tpu.models.dptnet.DPTNet's param tree."""
+    dpt: dict = {}
+    for i in range(layer):
+        for kind, mine in (("row_transformer", "row"), ("col_transformer", "col")):
+            p = f"separator.DPT.{kind}.{i}.transformer"
+            dpt[f"{mine}_{i}"] = {
+                "self_attn": _mha(sd, f"{p}.self_attn"),
+                "lstm": {"fw": _lstm_dir(sd, f"{p}.lstm", ""), "bw": _lstm_dir(sd, f"{p}.lstm", "_reverse")},
+                "linear": {"kernel": linear_w(sd[f"{p}.linear.weight"]), "bias": sd[f"{p}.linear.bias"]},
+                "norm1": _gn(sd, f"{p}.norm1"),
+                "norm2": _gn(sd, f"{p}.norm2"),
+            }
+    dpt["out_prelu"] = {"nl": {"alpha": sd["separator.DPT.output.0.weight"]}}
+    w_out = sd["separator.DPT.output.1.weight"]  # [O, I, 1, 1]
+    dpt["out_conv"] = {"kernel": linear_w(w_out.reshape(w_out.shape[0], w_out.shape[1])),
+                       "bias": sd["separator.DPT.output.1.bias"]}
+    return {
+        "encoder": {"conv": {"kernel": conv1d_w(sd["encoder.conv1d_U.weight"])}},
+        "enc_LN": _gn(sd, "enc_LN"),
+        "separator": {
+            "BN": {"kernel": conv1d_w(sd["separator.BN.weight"])},
+            "DPT": dpt,
+            "output": {**_conv(sd, "separator.output.0")},
+            "output_gate": {**_conv(sd, "separator.output_gate.0")},
+        },
+        "mask_conv1x1": {"kernel": conv1d_w(sd["mask_conv1x1.0.weight"])},
+        "decoder": {"kernel": linear_w(sd["decoder.basis_signals.weight"])},
+    }
+
+
+def sepformer_params_from_torch(sd: Mapping[str, np.ndarray], n_repeats: int = 2, n_layers: int = 8) -> dict:
+    """Map a reference float SepformerQ state_dict (sepformerq.py:342-470)
+    onto fqss_tpu.models.sepformer.Sepformer's param tree."""
+
+    def block(p: str) -> dict:
+        out = {"norm": _gn(sd, f"{p}.norm")}
+        for li in range(n_layers):
+            q = f"{p}.layers.{li}"
+            out[f"layer_{li}"] = {
+                "norm1": _gn(sd, f"{q}.norm1"),
+                "norm2": _gn(sd, f"{q}.norm2"),
+                "mha": _mha(sd, f"{q}.mha"),
+                "ffn_in": {"kernel": linear_w(sd[f"{q}.ffn.0.weight"]), "bias": sd[f"{q}.ffn.0.bias"]},
+                "ffn_out": {"kernel": linear_w(sd[f"{q}.ffn.3.weight"]), "bias": sd[f"{q}.ffn.3.bias"]},
+            }
+        return out
+
+    masker: dict = {
+        "norm": _gn(sd, "masker.norm"),
+        "conv1d": {"kernel": conv1d_w(sd["masker.conv1d.weight"])},
+        "prelu": {"nl": {"alpha": sd["masker.prelu.weight"]}},
+        "net_out": _conv(sd, "masker.net_out.0"),
+        "net_gate": _conv(sd, "masker.net_gate.0"),
+        "end_conv": {"kernel": conv1d_w(sd["masker.end_conv.0.weight"])},
+    }
+    w2d = sd["masker.conv2d.weight"]  # [O, I, 1, 1]
+    masker["conv2d"] = {"kernel": linear_w(w2d.reshape(w2d.shape[0], w2d.shape[1])),
+                        "bias": sd["masker.conv2d.bias"]}
+    for r in range(n_repeats):
+        masker[f"dp_{r}"] = {
+            "intra_transformer_block": block(f"masker.layers.{r}.intra_transformer_block"),
+            "inter_transformer_block": block(f"masker.layers.{r}.inter_transformer_block"),
+            "intra_norm": _gn(sd, f"masker.layers.{r}.intra_norm"),
+            "inter_norm": _gn(sd, f"masker.layers.{r}.inter_norm"),
+        }
+    return {
+        "encoder": {"conv": {"kernel": conv1d_w(sd["encoder.0.weight"])}},
+        "masker": masker,
+        "decoder": {"kernel": convt1d_w(sd["decoder.weight"])},
+    }
+
+
+def convtasnet_music_params_from_torch(sd: Mapping[str, np.ndarray], n_repeats: int = 4, n_blocks: int = 10) -> dict:
+    """Map a reference float ConvTasNetMusicQ state_dict
+    (convtasnetq_music.py:178-288) onto ConvTasNetMusic's param tree."""
+    sep: dict = {
+        "layer_norm": {"norm": {"scale": sd["separator.network.0.norm.weight"],
+                                "bias": sd["separator.network.0.norm.bias"]}},
+        "bottleneck": {"kernel": conv1d_w(sd["separator.network.1.weight"])},
+        "mask_conv": {"kernel": conv1d_w(sd["separator.network.3.weight"])},
+    }
+    for r in range(n_repeats):
+        for x in range(n_blocks):
+            p = f"separator.network.2.{r}.{x}"
+            sep[f"tcn_{r}_{x}"] = {
+                "conv1x1": {"kernel": conv1d_w(sd[f"{p}.net.0.weight"]),
+                            "nl": {"alpha": sd[f"{p}.net.1.weight"]}},
+                "norm": _gn(sd, f"{p}.net.2"),
+                "dsconv": {
+                    "depthwise": {"kernel": conv1d_w(sd[f"{p}.net.3.net.0.weight"]),
+                                  "nl": {"alpha": sd[f"{p}.net.3.net.1.weight"]}},
+                    "norm": _gn(sd, f"{p}.net.3.net.2"),
+                    "pointwise": {"kernel": conv1d_w(sd[f"{p}.net.3.net.3.weight"])},
+                },
+            }
+    return {
+        "encoder": {"conv": {"kernel": conv1d_w(sd["encoder.0.weight"])}},
+        "separator": sep,
+        "decoder": {"kernel": linear_w(sd["decoder.weight"])},
+    }

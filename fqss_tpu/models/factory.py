@@ -131,10 +131,20 @@ def load_pretrained_variables(model, model_path: str, example_input, rng=None) -
 
 
 def _torch_to_params(model, sd: dict) -> dict:
-    from fqss_tpu.models.convert import convtasnet_params_from_torch
+    from fqss_tpu.models import convert
 
     if isinstance(model, ConvTasNet):
-        return convtasnet_params_from_torch(sd, n_repeats=model.n_repeats, n_blocks=model.n_blocks)
+        return convert.convtasnet_params_from_torch(sd, n_repeats=model.n_repeats, n_blocks=model.n_blocks)
+    from fqss_tpu.models.convtasnet_music import ConvTasNetMusic
+    from fqss_tpu.models.dptnet import DPTNet
+    from fqss_tpu.models.sepformer import Sepformer
+
+    if isinstance(model, DPTNet):
+        return convert.dptnet_params_from_torch(sd, layer=model.layer)
+    if isinstance(model, Sepformer):
+        return convert.sepformer_params_from_torch(sd, n_repeats=model.n_repeats, n_layers=model.n_layers)
+    if isinstance(model, ConvTasNetMusic):
+        return convert.convtasnet_music_params_from_torch(sd, n_repeats=model.n_repeats, n_blocks=model.n_blocks)
     raise NotImplementedError(f"torch import not yet wired for {type(model).__name__}")
 
 
