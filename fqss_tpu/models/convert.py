@@ -206,3 +206,76 @@ def convtasnet_music_params_from_torch(sd: Mapping[str, np.ndarray], n_repeats: 
         "separator": sep,
         "decoder": {"kernel": linear_w(sd["decoder.weight"])},
     }
+
+
+def _dconv(sd: Mapping[str, np.ndarray], prefix: str, depth: int = 2) -> dict:
+    out = {}
+    for d in range(depth):
+        p = f"{prefix}.layers.{d}"
+        out[f"layer_{d}_conv"] = {
+            "kernel": conv1d_w(sd[f"{p}.0.weight"]), "bias": sd[f"{p}.0.bias"],
+            "norm": {"scale": sd[f"{p}.1.weight"], "bias": sd[f"{p}.1.bias"]},
+        }
+        out[f"layer_{d}_mix"] = {
+            "kernel": conv1d_w(sd[f"{p}.3.weight"]), "bias": sd[f"{p}.3.bias"],
+            "norm": {"scale": sd[f"{p}.4.weight"], "bias": sd[f"{p}.4.bias"]},
+        }
+        out[f"layer_{d}_scale"] = {"scale": sd[f"{p}.6.scale"]}
+    return out
+
+
+def htdemucs_params_from_torch(
+    sd: Mapping[str, np.ndarray], depth: int = 4, t_layers: int = 5, dconv_depth: int = 2
+) -> dict:
+    """Map a reference float HTDemucsQ state_dict (htdemucsq.py:532-930)
+    onto fqss_tpu.models.htdemucs.HTDemucs' param tree (default topology:
+    no branch merge, dconv in encoders only)."""
+
+    def henc(p: str, freq: bool) -> dict:
+        wt = conv2d_w(sd[f"{p}.conv.weight"]) if freq else conv1d_w(sd[f"{p}.conv.weight"])
+        wr = conv2d_w(sd[f"{p}.rewrite.weight"]) if freq else conv1d_w(sd[f"{p}.rewrite.weight"])
+        return {
+            "conv": {"kernel": wt, "bias": sd[f"{p}.conv.bias"]},
+            "rewrite": {"kernel": wr, "bias": sd[f"{p}.rewrite.bias"]},
+            "dconv": _dconv(sd, f"{p}.dconv", dconv_depth),
+        }
+
+    def hdec(p: str, freq: bool) -> dict:
+        wt = convt2d_w(sd[f"{p}.conv_tr.weight"]) if freq else convt1d_w(sd[f"{p}.conv_tr.weight"])
+        wr = conv2d_w(sd[f"{p}.rewrite.weight"]) if freq else conv1d_w(sd[f"{p}.rewrite.weight"])
+        return {
+            "conv_tr": {"kernel": wt, "bias": sd[f"{p}.conv_tr.bias"]},
+            "rewrite": {"kernel": wr, "bias": sd[f"{p}.rewrite.bias"]},
+        }
+
+    def ln(p: str) -> dict:
+        return {"norm": {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}}
+
+    def tlayer(p: str, cross: bool) -> dict:
+        out = {
+            ("cross_attn" if cross else "self_attn"): _mha(sd, f"{p}.{'cross_attn' if cross else 'self_attn'}"),
+            "norm1": ln(f"{p}.norm1"),
+            "norm2": ln(f"{p}.norm2"),
+            "linear1": {"kernel": linear_w(sd[f"{p}.linear1.weight"]), "bias": sd[f"{p}.linear1.bias"]},
+            "linear2": {"kernel": linear_w(sd[f"{p}.linear2.weight"]), "bias": sd[f"{p}.linear2.bias"]},
+            "norm_out": ln(f"{p}.norm_out"),
+            "gamma_1": {"scale": sd[f"{p}.gamma_1.scale"]},
+            "gamma_2": {"scale": sd[f"{p}.gamma_2.scale"]},
+        }
+        if cross:
+            out["norm3"] = ln(f"{p}.norm3")
+        return out
+
+    params: dict = {"freq_emb": {"embedding": sd["freq_emb.embedding.weight"]}}
+    for i in range(depth):
+        params[f"encoder_{i}"] = henc(f"encoder.{i}", freq=True)
+        params[f"tencoder_{i}"] = henc(f"tencoder.{i}", freq=False)
+        params[f"decoder_{i}"] = hdec(f"decoder.{i}", freq=True)
+        params[f"tdecoder_{i}"] = hdec(f"tdecoder.{i}", freq=False)
+    ct: dict = {"norm_in": ln("crosstransformer.norm_in"), "norm_in_t": ln("crosstransformer.norm_in_t")}
+    for i in range(t_layers):
+        cross = i % 2 == 1
+        ct[f"layer_{i}"] = tlayer(f"crosstransformer.layers.{i}", cross)
+        ct[f"layer_t_{i}"] = tlayer(f"crosstransformer.layers_t.{i}", cross)
+    params["crosstransformer"] = ct
+    return params
