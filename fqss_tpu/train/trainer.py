@@ -51,6 +51,11 @@ class TrainConfig:
     threshold: float = -30.0
     loss_upper_lim: float = 999999.0
     optimizer: str = "adam"
+    # bf16 teacher forward: the float teacher needs no quant-grid fidelity.
+    # NOTE: measured 60x SLOWER on the axon-tunneled v5e (bf16 conv1d falls
+    # off the fast path there); keep float32 unless profiling shows otherwise
+    # on the target runtime.
+    teacher_dtype: str = "float32"
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -112,7 +117,11 @@ def make_train_step(
         t_len = targets.shape[-1]
         est = est[..., :t_len]
         if cfg.kd_lambda > 0 and state.teacher_params is not None:
-            fest = teacher.apply({"params": state.teacher_params}, mix)[..., :t_len]
+            if cfg.teacher_dtype == "bfloat16":
+                tp = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), state.teacher_params)
+                fest = teacher.apply({"params": tp}, mix.astype(jnp.bfloat16))[..., :t_len].astype(jnp.float32)
+            else:
+                fest = teacher.apply({"params": state.teacher_params}, mix)[..., :t_len]
         else:
             fest = jax.lax.stop_gradient(est)
         loss, kd_loss = loss_fn(est, fest, targets)
