@@ -124,6 +124,14 @@ def make_train_step(
                 fest = teacher.apply({"params": state.teacher_params}, mix)[..., :t_len]
         else:
             fest = jax.lax.stop_gradient(est)
+        if cfg.threshold_byloss and cfg.kd_lambda <= 0:
+            # speechbrain per-sample loss thresholding: keep only the hard
+            # samples (loss > threshold) before the mean
+            # (speechbrain_librimix_trainer.py:144-151).
+            per = pit_neg_sisdr_db(est, targets, per_sample=True)
+            keep = (per > cfg.threshold).astype(per.dtype)
+            loss = jnp.sum(per * keep) / jnp.maximum(jnp.sum(keep), 1.0)
+            return loss, (jnp.zeros_like(loss), mutated)
         loss, kd_loss = loss_fn(est, fest, targets)
         return loss, (kd_loss, mutated)
 
