@@ -110,9 +110,21 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
     plateau = ReduceLROnPlateau(factor=0.5, patience=5) if training_cfg.get("half_lr", True) else None
     stopper = EarlyStopping(30) if training_cfg.get("early_stop", True) else None
 
+    # Resume: observer=False in the quantization cfg means "resume from
+    # checkpoint" (configs/convtasnet_2spks_8k.yaml:26); restore the latest
+    # TrainState (params + quantizer state + optimizer + epoch) if present.
+    start_epoch = 0
+    if not model_cfg.get("quantization", {}).get("observer", True):
+        template = jax.device_get(state)
+        restored, last_epoch = ckpt.restore_latest(template)
+        if last_epoch or ckpt.mgr.latest_step() is not None:
+            state = jax.device_put(restored, replicated_sharding(mesh))
+            start_epoch = last_epoch + 1
+            save_log(work_dir, f"resumed from checkpoint at epoch {last_epoch}")
+
     epochs = training_cfg.get("epochs", 50)
     best_val = float("inf")
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
         for mix, src in batch_iterator(train_set, batch_size, seed=seed, epoch=epoch):

@@ -149,3 +149,27 @@ dataloader_opts:
     assert conf["opt"]["_target_"] == "torch.optim.Adam"
     assert conf["opt"]["lr"] == 0.001
     assert conf["dataloader_opts"]["batch_size"] == 4
+
+
+def test_train_speech_resume_from_checkpoint(mini_dataset):
+    """observer=False resumes from the work_dir checkpoint (the reference's
+    resume semantics, configs/convtasnet_2spks_8k.yaml:26)."""
+    root, train_dir, val_dir = mini_dataset
+    conf = _smoke_conf(root, train_dir, val_dir)
+    conf["work_dir"] = os.path.join(root, "work_resume")
+    from fqss_tpu.train.recipes import train_speech
+
+    r1 = train_speech(conf, env_name="asteroid")
+    assert r1["epochs_run"] == 2
+
+    # resume: observer False, more epochs
+    conf2 = dict(conf)
+    conf2["model_cfg"] = dict(conf["model_cfg"])
+    conf2["model_cfg"]["quantization"] = dict(conf["model_cfg"]["quantization"], observer=False)
+    conf2["training_cfg"] = dict(conf["training_cfg"], epochs=3)
+    r2 = train_speech(conf2, env_name="asteroid")
+    hist = json.load(open(os.path.join(conf["work_dir"], "history.json")))
+    epochs_seen = [h["epoch"] for h in hist]
+    assert 2 in epochs_seen  # the resumed run added epoch 2 only
+    with open(os.path.join(conf["work_dir"], "results.txt")) as f:
+        assert "resumed from checkpoint" in f.read()
