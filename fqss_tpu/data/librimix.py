@@ -76,8 +76,13 @@ class LibriMix:
         return len(self.df)
 
     def _read(self, path: str, start: int, stop: int | None) -> np.ndarray:
-        wav, _ = read_audio(path)
-        wav = wav[0, start:stop]
+        # seek-read only the crop (native decoder; 10x+ faster than a full
+        # file read on the single-core host feeding the TPU)
+        from fqss_tpu.native import read_wav_segment
+
+        n = -1 if stop is None else stop - start
+        wav, _ = read_wav_segment(path, start, n)
+        wav = wav[0]
         if self.resample != 1:
             wav = resample_audio(wav, self.sample_rate, int(self.resample * self.sample_rate))
         return wav

@@ -98,11 +98,14 @@ class Wavset:
             if self.length is not None:
                 offset = int(math.ceil(meta["samplerate"] * self.stride * index / self.sample_rate))
             wavs = []
+            from fqss_tpu.native import read_wav_segment
+
             for source in self.sources:
-                wav, _ = read_audio(self.get_file(name, source))
                 if self.length is not None:
                     num = int(math.ceil(meta["samplerate"] * self.length / self.sample_rate))
-                    wav = wav[:, offset : offset + num]
+                    wav, _ = read_wav_segment(self.get_file(name, source), offset, num)
+                else:
+                    wav, _ = read_audio(self.get_file(name, source))
                 wavs.append(wav)
             example = np.stack(wavs)  # [S, C, T]
             if self.normalize:

@@ -106,3 +106,21 @@ def test_music_recipe_end_to_end(mini_musdb, tmp_path):
     assert len(vals) == 5 and np.isfinite(vals[0])
     sdr_vals = val_musdbhq(model, variables, model_cfg, conf["testing_cfg"], limit=1)
     assert len(sdr_vals) == 5 and np.isfinite(sdr_vals[0])
+
+
+def test_native_wav_segment_reader(tmp_path):
+    from fqss_tpu.native import available, read_wav_segment, wav_info
+    from fqss_tpu.utils.audio import read_audio, save_audio
+
+    rng = np.random.default_rng(9)
+    w = rng.uniform(-0.9, 0.9, (2, 16000)).astype(np.float32)
+    p = str(tmp_path / "seg.wav")
+    save_audio(p, w, 8000)
+    frames, sr, ch = wav_info(p)
+    assert (frames, sr, ch) == (16000, 8000, 2)
+    seg, sr2 = read_wav_segment(p, 4000, 2000)
+    ref, _ = read_audio(p)
+    np.testing.assert_allclose(seg, ref[:, 4000:6000], atol=1e-4)
+    # tail clamp
+    tail, _ = read_wav_segment(p, 15500, 2000)
+    assert tail.shape == (2, 500)
