@@ -53,3 +53,22 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "dp"):
     """
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def initialize_multihost(coordinator_address: str | None = None, num_processes: int | None = None, process_id: int | None = None) -> None:
+    """Multi-host (DCN) initialization — the jax.distributed analog of the
+    reference's three rendezvous styles (TCP free_port, PL-managed, dora;
+    SURVEY.md §2.7). After this, jax.devices() spans all hosts and the same
+    make_mesh/shard_batch code scales across them; per-host data loading
+    should stride by jax.process_index() (as distrib.py:105 does manually).
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
