@@ -293,7 +293,7 @@ class HDecLayer(nn.Module):
 
         if self.freq:
             if pad:
-                z = z[..., pad:-pad, :, :] if z.ndim == 5 else z[..., pad:-pad, :, :]
+                z = z[..., pad:-pad, :, :]  # freq axis is -3 for 4D and 5D (stacked planes)
         else:
             z = z[..., pad : pad + length, :]
         return z, y

@@ -53,35 +53,43 @@ def create_model(model_cfg: Mapping[str, Any], q: QuantSpec | None = None):
     if name == "DPTNet":
         from fqss_tpu.models.dptnet import DPTNet
 
+        extra = {k: model_cfg[k] for k in ("enc_dim", "feature_dim", "hidden_dim", "layer", "segment_size") if k in model_cfg}
         return DPTNet(
             n_srcs=model_cfg.get("n_src", 2),
             kernel_size=model_cfg.get("kernel_size", 2),
             q=q,
+            **extra,
         )
     if name == "Sepformer":
         from fqss_tpu.models.sepformer import Sepformer
 
+        extra = {k: model_cfg[k] for k in ("n_filters", "n_repeats", "n_heads", "chunk_size", "n_ffn", "n_layers") if k in model_cfg}
         return Sepformer(
             n_srcs=model_cfg.get("n_src", 2),
             kernel_size=model_cfg.get("kernel_size", 16),
             stride=model_cfg.get("stride", 8),
             q=q,
+            **extra,
         )
     if name == "ConvTasNetMusic":
         from fqss_tpu.models.convtasnet_music import ConvTasNetMusic
 
+        extra = {k: model_cfg[k] for k in ("audio_channels", "n_filters", "bn_chan", "hid_chan", "conv_kernel", "n_blocks", "n_repeats", "mask_act") if k in model_cfg}
         return ConvTasNetMusic(
             sources=tuple(model_cfg.get("sources", ["drums", "bass", "other", "vocals"])),
             kernel_size=model_cfg.get("kernel_size", 20),
             stride=model_cfg.get("stride", 10),
             q=q,
+            **extra,
         )
     if name == "HTDemucs":
         from fqss_tpu.models.htdemucs import HTDemucs
 
+        extra = {k: model_cfg[k] for k in ("audio_channels", "channels", "nfft", "depth", "t_layers", "t_heads", "segment", "samplerate") if k in model_cfg}
         return HTDemucs(
             sources=tuple(model_cfg.get("sources", ["drums", "bass", "other", "vocals"])),
             q=q,
+            **extra,
         )
     raise ValueError(f"Model {name} is not supported! ({MODEL_NAMES})")
 
@@ -119,10 +127,8 @@ def load_pretrained_variables(model, model_path: str, example_input, rng=None) -
         sd = {k: v for k, v in sd.items() if not k.startswith("fmodel.")}
         sd = {k.removeprefix("model."): v.detach().numpy() for k, v in sd.items()}
         params = _torch_to_params(model, sd)
-        if model.q.n_splitter >= 2:
-            params = _widen_encoder(params, model.q.n_splitter, rng)
-        _check_congruence(variables["params"], params)
-        variables["params"] = params
+        # merge handles splitter widening AND preserves QAT-only params
+        variables["params"] = merge_float_params(variables["params"], params, model.q.n_splitter)
         return variables
     # Framework-native checkpoints (orbax dir or npz).
     from fqss_tpu.train.checkpoints import restore_variables
@@ -146,26 +152,6 @@ def _torch_to_params(model, sd: dict) -> dict:
     if isinstance(model, ConvTasNetMusic):
         return convert.convtasnet_music_params_from_torch(sd, n_repeats=model.n_repeats, n_blocks=model.n_blocks)
     raise NotImplementedError(f"torch import not yet wired for {type(model).__name__}")
-
-
-def _widen_encoder(params: dict, n_splitter: int, rng) -> dict:
-    """Splitter widening of the float encoder kernel (qat_layers.py:1009-1026)."""
-    from fqss_tpu.nn.io_layers import expand_encoder_kernel
-
-    enc = params.get("encoder", {}).get("conv", params.get("encoder", {}))
-    if "kernel" in enc and enc["kernel"].shape[1] * n_splitter != enc["kernel"].shape[1]:
-        enc["kernel"] = expand_encoder_kernel(jnp.asarray(enc["kernel"]), n_splitter, rng)
-    return params
-
-
-def _check_congruence(ref, got):
-    ref_shapes = jax.tree_util.tree_map(lambda a: jnp.shape(a), ref)
-    got_shapes = jax.tree_util.tree_map(lambda a: jnp.shape(a), got)
-    if ref_shapes != got_shapes:
-        raise ValueError(
-            "Error: mismatch model weights. Please check if the model "
-            "configuration matches the checkpoint."
-        )
 
 
 def create_pretrained_model(model_cfg: Mapping[str, Any], example_input, observer: bool | None = None):
