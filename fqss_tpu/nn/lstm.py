@@ -73,7 +73,9 @@ class _LSTMDirection(nn.Module):
     def __call__(self, x: Array) -> Array:
         B, T, C = x.shape
         H = self.hidden_size
-        bound = 1.0 / jnp.sqrt(H).item()
+        import math
+
+        bound = 1.0 / math.sqrt(H)
         w_ih = self.param("w_ih", torch_uniform_init(bound), (C, 4 * H))
         w_hh = self.param("w_hh", torch_uniform_init(bound), (H, 4 * H))
         b_ih = self.param("b_ih", torch_uniform_init(bound), (4 * H,))
