@@ -18,7 +18,7 @@ import sys
 import time
 
 SEG = 96000  # 12 s @ 8 kHz
-BATCH = 8
+BATCH = 32
 N_SRC = 2
 KERNEL, STRIDE = 16, 8
 
@@ -36,7 +36,7 @@ def bench_tpu() -> float:
     variables = model.init(jax.random.PRNGKey(1), x)
     fwd = jax.jit(lambda v, x: model.apply(v, x))
     jax.block_until_ready(fwd(variables, x))  # compile
-    n_iter = 20
+    n_iter = 50
     t0 = time.perf_counter()
     for _ in range(n_iter):
         y = fwd(variables, x)
