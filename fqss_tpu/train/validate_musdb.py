@@ -54,6 +54,8 @@ def _separate_track(model, variables, track_dir: str, sources, testing_cfg, trai
         segment=testing_cfg.get("segment_samples"),
         overlap=testing_cfg.get("overlap", 0.25),
     )
+    # valid-path nan guard (solver.py:325 torch.nan_to_num)
+    seps = np.nan_to_num(seps)
     return seps * mix_std + mix_mean, fs
 
 
