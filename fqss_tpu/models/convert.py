@@ -279,3 +279,116 @@ def htdemucs_params_from_torch(
         ct[f"layer_t_{i}"] = tlayer(f"crosstransformer.layers_t.{i}", cross)
     params["crosstransformer"] = ct
     return params
+
+
+# ---------------------------------------------------------------------------
+# QAT-state import: reference post-surgery state dicts (learned ranges incl.)
+# ---------------------------------------------------------------------------
+
+
+def _wq_ranges(sd: Mapping[str, np.ndarray], prefix: str, to_last_axis: bool = True) -> dict:
+    """Weight-quantizer ranges: torch keepdim-on-first-axis -> ours on last."""
+    mn = sd[f"{prefix}.min_range"]
+    mx = sd[f"{prefix}.max_range"]
+    if to_last_axis:
+        mn = np.moveaxis(mn, 0, -1)
+        mx = np.moveaxis(mx, 0, -1)
+    return {"min_range": np.ascontiguousarray(mn), "max_range": np.ascontiguousarray(mx)}
+
+
+def _aq_ranges(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    return {"min_range": sd[f"{prefix}.min_range"], "max_range": sd[f"{prefix}.max_range"]}
+
+
+def convtasnet_qat_from_torch(sd: Mapping[str, np.ndarray], n_repeats: int = 3, n_blocks: int = 8,
+                              n_combiner: int = 2) -> tuple[dict, dict]:
+    """Map a reference QAT ConvTasNetQ state_dict (post quantize_model
+    surgery, convtasnetq.py:243-288) onto (params, qparams).
+
+    Load into a model built with observer=False so the imported learned
+    ranges are used as-is (val.py:197-198 semantics).
+    """
+    params: dict = {}
+    qparams: dict = {}
+
+    # encoder: Conv1dEncoderQ (already splitter-widened by the surgery)
+    params["encoder"] = {"conv": {"kernel": conv1d_w(sd["encoder.conv1d.weight"])}}
+    qparams["encoder"] = {"conv": {
+        "weight_fake_quantize": _wq_ranges(sd, "encoder.weight_fake_quantize"),
+        "activation_fake_quantize": _aq_ranges(sd, "encoder.activation_fake_quantize"),
+    }}
+
+    def conv_q(p: str, nl: bool = False) -> tuple[dict, dict]:
+        prm = {"kernel": conv1d_w(sd[f"{p}.conv1d.weight"])}
+        if f"{p}.conv1d.bias" in sd:
+            prm["bias"] = sd[f"{p}.conv1d.bias"]
+        if nl:
+            prm["nl"] = {"alpha": sd[f"{p}.nl.weight"]}
+        qp = {
+            "weight_fake_quantize": _wq_ranges(sd, f"{p}.weight_fake_quantize"),
+            "activation_fake_quantize": _aq_ranges(sd, f"{p}.activation_fake_quantize"),
+        }
+        return prm, qp
+
+    def gn_q(p: str) -> tuple[dict, dict]:
+        prm = {"norm": {"scale": sd[f"{p}.groupnorm.weight"], "bias": sd[f"{p}.groupnorm.bias"]}}
+        qp = {"activation_fake_quantize": _aq_ranges(sd, f"{p}.activation_fake_quantize")}
+        return prm, qp
+
+    masker_p: dict = {}
+    masker_q: dict = {}
+    masker_p["bottleneck_norm"], masker_q["bottleneck_norm"] = gn_q("masker.bottleneck.0")
+    masker_p["bottleneck_conv"], masker_q["bottleneck_conv"] = conv_q("masker.bottleneck.1")
+    idx = 0
+    for s in range(n_repeats):
+        for layer in range(n_blocks):
+            p = f"masker.TCN.{idx}"
+            blk_p: dict = {}
+            blk_q: dict = {}
+            blk_p["conv_in"], blk_q["conv_in"] = conv_q(f"{p}.shared_block.0", nl=True)
+            blk_p["norm_in"], blk_q["norm_in"] = gn_q(f"{p}.shared_block.2")
+            blk_p["conv_dw"], blk_q["conv_dw"] = conv_q(f"{p}.shared_block.3", nl=True)
+            blk_p["norm_dw"], blk_q["norm_dw"] = gn_q(f"{p}.shared_block.5")
+            blk_p["res_conv"], blk_q["res_conv"] = conv_q(f"{p}.res_conv")
+            blk_p["skip_conv"], blk_q["skip_conv"] = conv_q(f"{p}.skip_conv")
+            blk_q["add"] = {"activation_fake_quantize": _aq_ranges(sd, f"{p}.add.activation_fake_quantize")}
+            masker_p[f"tcn_{s}_{layer}"] = blk_p
+            masker_q[f"tcn_{s}_{layer}"] = blk_q
+            if idx < n_repeats * n_blocks - 1:
+                masker_q[f"skip_add_{idx}"] = {
+                    "activation_fake_quantize": _aq_ranges(sd, f"masker.adds.{idx}.activation_fake_quantize")
+                }
+            idx += 1
+    masker_p["mask_prelu"] = {"nl": {"alpha": sd["masker.mask_net.0.nl.weight"]}}
+    masker_q["mask_prelu"] = {"activation_fake_quantize": _aq_ranges(sd, "masker.mask_net.0.activation_fake_quantize")}
+    masker_p["mask_conv"], masker_q["mask_conv"] = conv_q("masker.mask_net.1")
+    params["masker"] = masker_p
+    qparams["masker"] = masker_q
+
+    qparams["mul"] = {"activation_fake_quantize": _aq_ranges(sd, "mul.activation_fake_quantize")}
+
+    # decoder: ConvTr1dDecoderQ (+ residual error block for the combiner)
+    dec_p: dict = {"kernel": convt1d_w(sd["decoder.convTr1d.weight"])}
+    dec_q: dict = {
+        # torch convT ranges are keepdim on axis 1 [1, Co, 1] -> ours (1, 1, Co)
+        "weight_fake_quantize": {
+            "min_range": np.moveaxis(sd["decoder.weight_fake_quantize.min_range"], 1, -1),
+            "max_range": np.moveaxis(sd["decoder.weight_fake_quantize.max_range"], 1, -1),
+        },
+        "activation_fake_quantize": _aq_ranges(sd, "decoder.activation_fake_quantize"),
+    }
+    if n_combiner >= 2:
+        reb = "decoder.residual_error_block"
+        dec_p["residual_error_block"] = {
+            "residual_encoder": {"kernel": conv1d_w(sd[f"{reb}.residual_encoder.weight"])},
+        }
+        if f"{reb}.residual_encoder.bias" in sd:
+            dec_p["residual_error_block"]["residual_encoder"]["bias"] = sd[f"{reb}.residual_encoder.bias"]
+        dec_q["residual_error_block"] = {
+            "residual_encoder": {"weight_fake_quantize": _wq_ranges(sd, f"{reb}.weight_fake_quantize")},
+            "activation_fake_quantize": _aq_ranges(sd, f"{reb}.activation_fake_quantize"),
+        }
+        dec_q["activation_fake_quantize_residual"] = _aq_ranges(sd, "decoder.activation_fake_quantize_residual")
+    params["decoder"] = dec_p
+    qparams["decoder"] = dec_q
+    return params, qparams
