@@ -106,6 +106,9 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
     train_step = make_train_step(model, teacher, tx, cfg)
     eval_step = make_eval_step(model)
 
+    from fqss_tpu.utils.logging import RunLogger
+
+    logger = RunLogger(work_dir, use_wandb=training_cfg.get("wandb", False), config=dict(conf))
     ckpt = CheckpointManager(work_dir)
     plateau = ReduceLROnPlateau(factor=0.5, patience=5) if training_cfg.get("half_lr", True) else None
     stopper = EarlyStopping(30) if training_cfg.get("early_stop", True) else None
@@ -138,11 +141,11 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
             val_losses.append(float(eval_step(state, bmix, bsrc)["val_loss"]))
         val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
 
-        save_log(
-            work_dir,
-            f"epoch {epoch}: loss={np.mean(losses):.4f} val_loss={val_loss:.4f} "
-            f"lr_scale={float(state.lr_scale):.4f} skipped={int(state.skipped)} "
-            f"time={time.time() - t0:.1f}s",
+        logger.log(
+            {"loss": float(np.mean(losses)), "val_loss": val_loss,
+             "lr_scale": float(state.lr_scale), "skipped": int(state.skipped),
+             "epoch_time_s": time.time() - t0},
+            step=epoch,
         )
         ckpt.save(epoch, jax.device_get(state), {"val_loss": val_loss, "loss": float(np.mean(losses))})
         _export_state(work_dir, "latest_model.npz", state)
@@ -156,6 +159,7 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
             break
 
     ckpt.close()
+    logger.finish()
     return {"best_val_loss": best_val, "epochs_run": epoch + 1, "state": jax.device_get(state)}
 
 
