@@ -392,3 +392,128 @@ def convtasnet_qat_from_torch(sd: Mapping[str, np.ndarray], n_repeats: int = 3, 
     params["decoder"] = dec_p
     qparams["decoder"] = dec_q
     return params, qparams
+
+
+def dptnet_qat_from_torch(sd: Mapping[str, np.ndarray], layer: int = 6, n_combiner: int = 2) -> tuple[dict, dict]:
+    """Map a reference QAT DPTNetQ state_dict (post quantize_model surgery,
+    dptnetq.py:430-478) onto (params, qparams). Load with observer=False."""
+
+    def conv_q(p: str, bias: bool = True, nl: bool = False) -> tuple[dict, dict]:
+        prm = {"kernel": conv1d_w(sd[f"{p}.conv1d.weight"])}
+        if bias and f"{p}.conv1d.bias" in sd:
+            prm["bias"] = sd[f"{p}.conv1d.bias"]
+        qp = {"weight_fake_quantize": _wq_ranges(sd, f"{p}.weight_fake_quantize"),
+              "activation_fake_quantize": _aq_ranges(sd, f"{p}.activation_fake_quantize")}
+        return prm, qp
+
+    def mha_q(p: str) -> tuple[dict, dict]:
+        prm = {
+            "in_proj_kernel": linear_w(sd[f"{p}.mha.in_proj_weight"]),
+            "in_proj_bias": sd[f"{p}.mha.in_proj_bias"],
+            "out_proj_kernel": linear_w(sd[f"{p}.mha.out_proj.weight"]),
+            "out_proj_bias": sd[f"{p}.mha.out_proj.bias"],
+        }
+        qp = {"weight_fake_quantize_in": _wq_ranges(sd, f"{p}.weight_fake_quantize_in"),
+              "weight_fake_quantize_out": _wq_ranges(sd, f"{p}.weight_fake_quantize_out")}
+        for site in ("q", "k", "v", "div", "attn", "softmax", "head"):
+            qp[f"activation_fake_quantize_{site}"] = _aq_ranges(sd, f"{p}.activation_fake_quantize_{site}")
+        qp["activation_fake_quantize"] = _aq_ranges(sd, f"{p}.activation_fake_quantize")
+        return prm, qp
+
+    def lstm_q(p: str) -> tuple[dict, dict]:
+        prm = {
+            "fw": _lstm_dir(sd, f"{p}.lstm", ""),
+            "bw": _lstm_dir(sd, f"{p}.lstm", "_reverse"),
+        }
+        qp = {
+            "fw": {"wq_ih": _wq_ranges(sd, f"{p}.weight_quantizers_dict.weight_ih_l0"),
+                   "wq_hh": _wq_ranges(sd, f"{p}.weight_quantizers_dict.weight_hh_l0")},
+            "bw": {"wq_ih": _wq_ranges(sd, f"{p}.weight_quantizers_dict.weight_ih_l0_reverse"),
+                   "wq_hh": _wq_ranges(sd, f"{p}.weight_quantizers_dict.weight_hh_l0_reverse")},
+            "activation_fake_quantize": _aq_ranges(sd, f"{p}.activation_fake_quantize"),
+        }
+        return prm, qp
+
+    def ln_q(p: str) -> tuple[dict, dict]:
+        prm = {"norm": {"scale": sd[f"{p}.layernorm.weight"], "bias": sd[f"{p}.layernorm.bias"]}}
+        qp = {"activation_fake_quantize": _aq_ranges(sd, f"{p}.activation_fake_quantize")}
+        return prm, qp
+
+    def tlayer_q(p: str) -> tuple[dict, dict]:
+        prm: dict = {}
+        qp: dict = {}
+        prm["self_attn"], qp["self_attn"] = mha_q(f"{p}.self_attn")
+        prm["lstm"], qp["lstm"] = lstm_q(f"{p}.lstm")
+        prm["linear"] = {"kernel": linear_w(sd[f"{p}.linear.linear.weight"]),
+                         "bias": sd[f"{p}.linear.linear.bias"]}
+        qp["linear"] = {"weight_fake_quantize": _wq_ranges(sd, f"{p}.linear.weight_fake_quantize"),
+                        "activation_fake_quantize": _aq_ranges(sd, f"{p}.linear.activation_fake_quantize")}
+        prm["norm1"], qp["norm1"] = ln_q(f"{p}.norm1")
+        prm["norm2"], qp["norm2"] = ln_q(f"{p}.norm2")
+        qp["add_norm1"] = {"activation_fake_quantize": _aq_ranges(sd, f"{p}.add_norm1.activation_fake_quantize")}
+        qp["add_norm2"] = {"activation_fake_quantize": _aq_ranges(sd, f"{p}.add_norm2.activation_fake_quantize")}
+        return prm, qp
+
+    params: dict = {}
+    qparams: dict = {}
+
+    params["encoder"] = {"conv": {"kernel": conv1d_w(sd["encoder.conv1d_U.conv1d.weight"])}}
+    qparams["encoder"] = {"conv": {
+        "weight_fake_quantize": _wq_ranges(sd, "encoder.conv1d_U.weight_fake_quantize"),
+        "activation_fake_quantize": _aq_ranges(sd, "encoder.conv1d_U.activation_fake_quantize"),
+    }}
+    params["enc_LN"] = {"norm": {"scale": sd["enc_LN.groupnorm.weight"], "bias": sd["enc_LN.groupnorm.bias"]}}
+    qparams["enc_LN"] = {"activation_fake_quantize": _aq_ranges(sd, "enc_LN.activation_fake_quantize")}
+
+    sep_p: dict = {}
+    sep_q: dict = {}
+    sep_p["BN"], sep_q["BN"] = conv_q("separator.BN", bias=False)
+    dpt_p: dict = {}
+    dpt_q: dict = {}
+    for i in range(layer):
+        for kind, mine in (("row_transformer", "row"), ("col_transformer", "col")):
+            dpt_p[f"{mine}_{i}"], dpt_q[f"{mine}_{i}"] = tlayer_q(f"separator.DPT.{kind}.{i}.transformer")
+    dpt_p["out_prelu"] = {"nl": {"alpha": sd["separator.DPT.output.0.nl.weight"]}}
+    dpt_q["out_prelu"] = {"activation_fake_quantize": _aq_ranges(sd, "separator.DPT.output.0.activation_fake_quantize")}
+    w2 = sd["separator.DPT.output.1.conv2d.weight"]
+    dpt_p["out_conv"] = {"kernel": linear_w(w2.reshape(w2.shape[0], w2.shape[1])),
+                         "bias": sd["separator.DPT.output.1.conv2d.bias"]}
+    dpt_q["out_conv"] = {
+        "weight_fake_quantize": {
+            "min_range": sd["separator.DPT.output.1.weight_fake_quantize.min_range"].reshape(1, -1),
+            "max_range": sd["separator.DPT.output.1.weight_fake_quantize.max_range"].reshape(1, -1),
+        },
+        "activation_fake_quantize": _aq_ranges(sd, "separator.DPT.output.1.activation_fake_quantize"),
+    }
+    sep_p["DPT"] = dpt_p
+    sep_q["DPT"] = dpt_q
+    sep_p["output"], sep_q["output"] = conv_q("separator.output.0", nl=False)
+    sep_p["output_gate"], sep_q["output_gate"] = conv_q("separator.output_gate.0", nl=False)
+    sep_q["mul"] = {"activation_fake_quantize": _aq_ranges(sd, "separator.mul.activation_fake_quantize")}
+    sep_q["add"] = {"activation_fake_quantize": _aq_ranges(sd, "separator.add.activation_fake_quantize")}
+    params["separator"] = sep_p
+    qparams["separator"] = sep_q
+
+    params["mask_conv1x1"], qparams["mask_conv1x1"] = conv_q("mask_conv1x1.0", bias=False)
+    qparams["mul"] = {"activation_fake_quantize": _aq_ranges(sd, "mul.activation_fake_quantize")}
+
+    dec_p: dict = {"kernel": linear_w(sd["decoder.basis_signals.linear.weight"])}
+    dec_q: dict = {
+        "weight_fake_quantize": _wq_ranges(sd, "decoder.basis_signals.weight_fake_quantize"),
+        "activation_fake_quantize": _aq_ranges(sd, "decoder.basis_signals.activation_fake_quantize"),
+    }
+    if n_combiner >= 2:
+        reb = "decoder.basis_signals.residual_error_block"
+        dec_p["residual_error_block"] = {
+            "residual_encoder_kernel": linear_w(sd[f"{reb}.residual_encoder.weight"]),
+        }
+        if f"{reb}.residual_encoder.bias" in sd:
+            dec_p["residual_error_block"]["residual_encoder_bias"] = sd[f"{reb}.residual_encoder.bias"]
+        dec_q["residual_error_block"] = {
+            "weight_fake_quantize": _wq_ranges(sd, f"{reb}.weight_fake_quantize"),
+            "activation_fake_quantize": _aq_ranges(sd, f"{reb}.activation_fake_quantize"),
+        }
+        dec_q["activation_fake_quantize_residual"] = _aq_ranges(sd, "decoder.basis_signals.activation_fake_quantize_residual")
+    params["decoder"] = dec_p
+    qparams["decoder"] = dec_q
+    return params, qparams

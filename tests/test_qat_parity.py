@@ -122,3 +122,60 @@ def test_quantized_forward_parity_convtasnet():
     assert agreement_db > 20.0, agreement_db
     c = np.corrcoef(y.ravel(), yt.ravel())[0, 1]
     assert c > 0.99, c
+
+
+def test_quantized_forward_parity_dptnet():
+    """DPTNet QAT-state import: transformer (MHA+LSTM-FFN) quantizer sites
+    loaded from the reference post-surgery state; outputs must agree."""
+    import torch
+
+    _load_reference()
+    from quantization.qat.models.dptnetq import DPTNetQ
+    from quantization.qat.models.load_model import enable_observer, quantize_model
+
+    torch.manual_seed(0)
+    tm = DPTNetQ(n_spks=2, kernel_size=2, enc_dim=32, feature_dim=16,
+                 hidden_dim=16, layer=1, segment_size=20)
+    quant_cfg = {
+        "qat": True, "gradient_based": True,
+        "weight_quant": True, "weight_n_bits": 8,
+        "act_quant": True, "act_n_bits": 8,
+        "in_quant": False, "out_quant": True, "out_act_n_bits": 8,
+        "n_splitter": 2, "n_combiner": 2, "observer": True,
+    }
+    tm = quantize_model(tm, quant_cfg)
+    tm.eval()
+    rng = np.random.default_rng(3)
+    with torch.no_grad():
+        for _ in range(3):
+            tm(torch.tensor(rng.uniform(-1, 1, (1, 400)).astype(np.float32)))
+    enable_observer(tm, False)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    from fqss_tpu.models.convert import dptnet_qat_from_torch
+    from fqss_tpu.models.dptnet import DPTNet
+    from fqss_tpu.quant import QuantSpec
+
+    params, qparams = dptnet_qat_from_torch(sd, layer=1)
+    q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
+    m = DPTNet(n_srcs=2, kernel_size=2, enc_dim=32, feature_dim=16,
+               hidden_dim=16, layer=1, segment_size=20, q=q)
+
+    x = rng.uniform(-1, 1, (1, 400)).astype(np.float32)
+    init_vars = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    for col, got in (("params", params), ("qparams", qparams)):
+        ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, init_vars[col])
+        got_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, got)
+        assert ref_shapes == got_shapes, col
+
+    variables = {"params": params, "qparams": qparams, "qstats": init_vars["qstats"]}
+    y = np.asarray(m.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        yt = tm(torch.tensor(x)).numpy()
+    assert y.shape == yt.shape
+    num = float(np.sum(yt**2))
+    den = float(np.sum((y - yt) ** 2)) + 1e-12
+    agreement_db = 10 * np.log10(num / den)
+    assert agreement_db > 20.0, agreement_db
+    c = np.corrcoef(y.ravel(), yt.ravel())[0, 1]
+    assert c > 0.99, c
