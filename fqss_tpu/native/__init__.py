@@ -43,6 +43,7 @@ def _load():
             ctypes.c_int64,
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,  # per-channel allocation stride (frames)
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
@@ -97,6 +98,7 @@ def read_wav_segment(path: str, offset: int = 0, n_frames: int = -1) -> tuple[np
     got = lib.wav_read_f32(
         path.encode(), offset, n_frames,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n_frames,  # allocation stride: requested frames, not the EOF-clamped count
         ctypes.byref(ch), ctypes.byref(sr),
     )
     if got < 0:

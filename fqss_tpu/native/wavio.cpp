@@ -41,13 +41,25 @@ static int parse_header(FILE* f, WavInfo* info) {
     uint32_t size;
     memcpy(&size, chunk + 4, 4);
     if (memcmp(chunk, "fmt ", 4) == 0) {
-      uint8_t buf[16];
-      if (size < 16 || fread(buf, 1, 16, f) != 16) return -3;
+      // Read up to the full extensible header (16 base + 2 cbSize +
+      // 22 extension = 40 bytes) so WAVE_FORMAT_EXTENSIBLE resolves to its
+      // real SubFormat instead of being guessed as PCM.
+      uint8_t buf[40] = {0};
+      size_t take = size < sizeof(buf) ? size : sizeof(buf);
+      if (size < 16 || fread(buf, 1, take, f) != take) return -3;
       memcpy(&fmt_tag, buf + 0, 2);
       memcpy(&channels, buf + 2, 2);
       memcpy(&sample_rate, buf + 4, 4);
       memcpy(&bits, buf + 14, 2);
-      if (size > 16) fseek(f, size - 16, SEEK_CUR);
+      if (fmt_tag == 0xFFFE) {
+        uint16_t cb_size = 0;
+        if (size >= 18) memcpy(&cb_size, buf + 16, 2);
+        if (size < 40 || cb_size < 22) return -7;  // malformed extensible fmt
+        // SubFormat GUID at offset 24; its first two bytes are the real tag.
+        memcpy(&fmt_tag, buf + 24, 2);
+      }
+      if (size > take) fseek(f, (long)(size - take), SEEK_CUR);
+      if (size & 1) fseek(f, 1, SEEK_CUR);
     } else if (memcmp(chunk, "data", 4) == 0) {
       data_offset = ftell(f);
       data_size = size;
@@ -58,7 +70,6 @@ static int parse_header(FILE* f, WavInfo* info) {
     if (data_offset >= 0 && fmt_tag) break;
   }
   if (data_offset < 0 || !channels || !bits) return -4;
-  if (fmt_tag == 0xFFFE) fmt_tag = 1;  // WAVE_FORMAT_EXTENSIBLE: assume PCM
   if (fmt_tag != 1 && fmt_tag != 3) return -5;
 
   info->channels = channels;
@@ -85,9 +96,14 @@ int wav_info(const char* path, int32_t* channels, int32_t* sample_rate, int64_t*
 }
 
 // Reads [offset, offset+n) frames as planar float32 out[channel][frame].
-// n < 0 means "to end of file". Returns frames read, or negative error.
+// `stride` is the caller's per-channel allocation stride in frames (out is
+// indexed out[c*stride + i]); it must be >= the number of frames actually
+// read, which may be less than n when the request crosses EOF — using the
+// clamped count as the stride would scatter channels across the caller's
+// buffer. n < 0 means "to end of file". Returns frames read, or a negative
+// error.
 int64_t wav_read_f32(const char* path, int64_t offset, int64_t n, float* out,
-                     int32_t* channels, int32_t* sample_rate) {
+                     int64_t stride, int32_t* channels, int32_t* sample_rate) {
   FILE* f = fopen(path, "rb");
   if (!f) return -1;
   WavInfo info;
@@ -97,6 +113,7 @@ int64_t wav_read_f32(const char* path, int64_t offset, int64_t n, float* out,
   if (offset > info.n_frames) offset = info.n_frames;
   int64_t avail = info.n_frames - offset;
   if (n < 0 || n > avail) n = avail;
+  if (stride < n) { fclose(f); return -8; }
 
   const int bytes_per = info.bits / 8;
   const int ch = info.channels;
@@ -131,7 +148,7 @@ int64_t wav_read_f32(const char* path, int64_t offset, int64_t n, float* out,
           fclose(f);
           return -6;
         }
-        out[(int64_t)c * n + done + i] = v;
+        out[(int64_t)c * stride + done + i] = v;
       }
     }
     done += todo;

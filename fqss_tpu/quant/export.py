@@ -63,13 +63,18 @@ def export_quantizer_grids(variables: dict, weight_n_bits: int = 8, act_n_bits: 
         return {}
     qparams = jax.device_get(variables[QPARAMS])
 
-    def walk(node: Any) -> Any:
+    def walk(node: Any, key: str = "") -> Any:
         if not isinstance(node, dict):
             return node
         if "min_range" in node and "max_range" in node:
             mn = np.asarray(node["min_range"])
             mx = np.asarray(node["max_range"])
-            if mn.size > 1:  # per-channel => weight quantizer
+            # Dispatch on the quantizer's scope name, not on range size: a
+            # per-channel weight quantizer with a single output channel
+            # (e.g. a Co=1 decoder ConvTranspose) has size-1 ranges but must
+            # still get the symmetric per-channel grid, not the asymmetric
+            # per-tensor activation grid.
+            if key.startswith(("weight_fake_quantize", "wq_")):
                 return freeze_weight_grid(mn, mx, weight_n_bits)
             if "mu" in node:  # mu-law quantizer: export ranges + mu
                 return {
@@ -80,6 +85,6 @@ def export_quantizer_grids(variables: dict, weight_n_bits: int = 8, act_n_bits: 
                     "n_bits": act_n_bits,
                 }
             return freeze_activation_grid(mn, mx, act_n_bits)
-        return {k: walk(v) for k, v in node.items()}
+        return {k: walk(v, k) for k, v in node.items()}
 
     return walk(jax.tree_util.tree_map(np.asarray, qparams))

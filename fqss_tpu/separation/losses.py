@@ -134,9 +134,9 @@ def fqss_kd_msb_loss(
     fest = jax.lax.stop_gradient(fest)
     fdec_out = jax.lax.stop_gradient(fdec_out)
     w = kd_sensitivity_weights(est, fest, targets, eps)
-    fdec_msb, fdec_lsb = split_msb_lsb(fdec_out)
-    kd_msb = -pit_wsisdr_ratio(dec_planes[0], fdec_msb[None], weights=w, eps=eps)
-    kd_lsb = -pit_wsisdr_ratio(dec_planes[1], fdec_lsb[None], weights=w, eps=eps)
+    fdec_msb, fdec_lsb = split_msb_lsb(fdec_out)  # per-sample [B, S, T]
+    kd_msb = -pit_wsisdr_ratio(dec_planes[0], fdec_msb, weights=w, eps=eps)
+    kd_lsb = -pit_wsisdr_ratio(dec_planes[1], fdec_lsb, weights=w, eps=eps)
     task_sdr = -pit_wsisdr_ratio(est, targets, eps=eps)
     loss = -10.0 * jnp.log10(
         (1.0 - kd_lambda) * task_sdr + 0.5 * kd_lambda * kd_lsb + 0.5 * kd_lambda * kd_msb + eps

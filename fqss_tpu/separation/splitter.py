@@ -74,10 +74,14 @@ def postprocess(x: Array, n_combiner: int = 1, n_bits: int = 8, sign: bool = Tru
 def split_msb_lsb(x: Array, n_bits: int = 8, sign: bool = True) -> tuple[Array, Array]:
     """Teacher-output MSB/LSB split for distillation (mysystem.py:16-22).
 
-    x: [B, ...] — uses x[0] like the reference (batch size 1 distill path).
+    x: [B, ...] -> (msb, lsb) each [B, ...]. The reference indexes x[0]
+    because its distill path runs batch-1; here the threshold is computed
+    per sample (max-abs over the non-batch axes) — identical at B=1, and a
+    B>1 caller gets each sample split against itself instead of silently
+    distilling every batch element against sample 0's planes.
     """
-    x = x[0]
-    threshold = jnp.maximum(jnp.abs(jnp.min(x)), jnp.abs(jnp.max(x)))
+    axes = tuple(range(1, x.ndim))
+    threshold = jnp.max(jnp.abs(x), axis=axes, keepdims=True)
     x_msb = splitter_quantize(x, threshold=threshold, n_bits=n_bits, sign=sign)
     delta = 1.0 / (2 ** (n_bits - int(sign)))
     x_lsb = (x - x_msb) / (0.5 * delta)

@@ -36,7 +36,11 @@ class CheckpointManager:
         self.mgr = ocp.CheckpointManager(
             os.path.join(self.work_dir, "checkpoints"),
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=keep, best_fn=lambda m: m.get("val_loss", 0.0), best_mode="min"
+                # A save without a val_loss (e.g. a train-only epoch) must
+                # never win best-tracking under mode=min.
+                max_to_keep=keep,
+                best_fn=lambda m: m.get("val_loss", float("inf")),
+                best_mode="min",
             ),
         )
         self.history_path = os.path.join(self.work_dir, "history.json")

@@ -121,6 +121,38 @@ def test_native_wav_segment_reader(tmp_path):
     seg, sr2 = read_wav_segment(p, 4000, 2000)
     ref, _ = read_audio(p)
     np.testing.assert_allclose(seg, ref[:, 4000:6000], atol=1e-4)
-    # tail clamp
+    # tail clamp: a request crossing EOF must return valid data for EVERY
+    # channel (regression: the clamped frame count was used as the planar
+    # channel stride, scattering channels 1+ across the caller's buffer)
     tail, _ = read_wav_segment(p, 15500, 2000)
     assert tail.shape == (2, 500)
+    np.testing.assert_allclose(tail, ref[:, 15500:], atol=1e-4)
+
+
+def test_native_wav_extensible_float(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE float32 (libsndfile-style) must decode as float,
+    not be coerced to int PCM."""
+    import struct
+
+    from fqss_tpu.native import available, read_wav_segment, wav_info
+
+    if not available():
+        pytest.skip("native wavio unavailable")
+    rng = np.random.default_rng(3)
+    w = rng.uniform(-0.9, 0.9, (2, 1000)).astype(np.float32)
+    interleaved = np.ascontiguousarray(w.T).tobytes()
+    # KSDATAFORMAT_SUBTYPE_IEEE_FLOAT = {00000003-0000-0010-8000-00aa00389b71}
+    sub_fmt = struct.pack("<IHH", 3, 0, 0x10) + bytes(
+        [0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71]
+    )
+    # base fmt + extension: cbSize=22, valid bits=32, channel mask=0x3, GUID
+    fmt = struct.pack("<HHIIHHHHI", 0xFFFE, 2, 8000, 8000 * 8, 8, 32, 22, 32, 0x3) + sub_fmt
+    p = tmp_path / "ext.wav"
+    data = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    data += b"data" + struct.pack("<I", len(interleaved)) + interleaved
+    p.write_bytes(b"RIFF" + struct.pack("<I", len(data)) + data)
+
+    frames, sr, ch = wav_info(str(p))
+    assert (frames, sr, ch) == (1000, 8000, 2)
+    seg, _ = read_wav_segment(str(p), 0, 1000)
+    np.testing.assert_allclose(seg, w, atol=1e-6)

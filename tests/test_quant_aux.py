@@ -67,6 +67,21 @@ def test_export_quantizer_grids_walks_model():
     assert grids["activation_fake_quantize"]["kind"] == "per_tensor"
 
 
+def test_export_single_channel_weight_grid_stays_per_channel():
+    """A Co=1 per-channel weight quantizer (size-1 ranges) must export the
+    symmetric per-channel grid, not the asymmetric activation grid
+    (regression: dispatch was on range size, so e.g. the ConvTasNet decoder
+    ConvTranspose1d with one output channel froze to the wrong formula)."""
+    from fqss_tpu.nn import QDense
+
+    m = QDense(features=1, q=QuantSpec(qat=True, observer=False))
+    v = dict(m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8))))
+    grids = export_quantizer_grids(v)
+    g = grids["weight_fake_quantize"]
+    assert g["kind"] == "per_channel" and g["scales"].shape == (1,)
+    assert g["quant_min"] == -128 and int(g["zero_points"][0]) == 0
+
+
 def test_wiener_improves_over_ratio_mask_consistency():
     from fqss_tpu.ops.stft import stft
     from fqss_tpu.ops.wiener import wiener

@@ -71,4 +71,21 @@ def test_split_msb_lsb_reconstruction():
     msb, lsb = split_msb_lsb(jnp.asarray(x))
     delta = 1.0 / 128
     recon = np.asarray(msb) + np.asarray(lsb) * 0.5 * delta
-    np.testing.assert_allclose(recon, x[0], atol=1e-6)
+    np.testing.assert_allclose(recon, x, atol=1e-6)
+
+
+def test_split_msb_lsb_per_sample_batch():
+    """B>1: each sample is split against its own threshold (regression:
+    the x[0] index distilled every batch element vs sample 0)."""
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-0.9, 0.9, (3, 2, 512)).astype(np.float32)
+    x[1] *= 0.05  # very different dynamic range per sample
+    msb, lsb = split_msb_lsb(jnp.asarray(x))
+    assert msb.shape == x.shape and lsb.shape == x.shape
+    delta = 1.0 / 128
+    np.testing.assert_allclose(np.asarray(msb) + np.asarray(lsb) * 0.5 * delta, x, atol=1e-6)
+    # each sample's split must equal the batch-1 split of that sample alone
+    for b in range(3):
+        msb_b, lsb_b = split_msb_lsb(jnp.asarray(x[b : b + 1]))
+        np.testing.assert_allclose(np.asarray(msb)[b], np.asarray(msb_b)[0], atol=1e-7)
+        np.testing.assert_allclose(np.asarray(lsb)[b], np.asarray(lsb_b)[0], atol=1e-7)
