@@ -36,6 +36,8 @@ class LibriMix:
         n_src: int = 2,
         segment: float | None = 3,
         augmentation_cfg: dict | None = None,
+        speed_perturb: bool = False,
+        speeds: tuple[int, ...] = (95, 100, 105),
         seed: int = 0,
     ):
         self.csv_dir = csv_dir
@@ -44,6 +46,11 @@ class LibriMix:
         self.sample_rate = sample_rate
         self.n_src = n_src
         self.augmentation_cfg = augmentation_cfg if (augmentation_cfg or {}).get("enable") else None
+        # speechbrain speed-perturb (speechbrain_librimix_trainer.py:52-57,
+        # add_speed_perturb): each source resampled by an independent random
+        # speed, mixture re-summed from the perturbed sources.
+        self.speed_perturb = speed_perturb
+        self.speeds = tuple(speeds)
         self.rng = np.random.default_rng(seed)
         self.pyrng = random.Random(seed)
 
@@ -125,7 +132,31 @@ class LibriMix:
         else:
             mixture = self._read(row["mixture_path"], start, stop)
 
+        if self.speed_perturb:
+            mixture, sources_arr = self._apply_speed_perturb(sources_arr, noise)
+
         return mixture.astype(np.float32), sources_arr.astype(np.float32)
+
+    def _apply_speed_perturb(self, sources_arr: np.ndarray, noise: np.ndarray | None):
+        """Per-source random-speed resample, then mix = sum of perturbed
+        sources (+ noise for noisy tasks) — speechbrain add_speed_perturb
+        followed by ``mix = targets.sum(-1)``
+        (speechbrain_librimix_trainer.py:52-69,210-236). Lengths are restored
+        to the original segment length by crop/zero-pad so batches stay
+        static-shaped for XLA."""
+        from fqss_tpu.data.augment import speed_perturb as _sp
+
+        t_len = sources_arr.shape[-1]
+        out = np.zeros_like(sources_arr)
+        for i in range(sources_arr.shape[0]):
+            w = _sp(self.rng, sources_arr[i], speeds=self.speeds)
+            n = min(t_len, w.shape[-1])
+            out[i, :n] = w[:n]
+        mixture = out.sum(axis=0)
+        if noise is not None and self.task in ("enh_single", "sep_noisy"):
+            n = min(t_len, noise.shape[-1])
+            mixture[:n] = mixture[:n] + noise[:n]
+        return mixture, out
 
 
 def batch_iterator(

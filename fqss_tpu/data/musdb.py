@@ -154,6 +154,52 @@ def get_musdb_wav_datasets(
     return train_set, valid_set
 
 
+class RepitchedWavset:
+    """Host-side repitch/retempo wrapper over a Wavset (the htdemucs recipe's
+    RepitchedWrapper, wired via augment.repitch.proba —
+    train_env/htdemucs_musdbhq/train.py:207-214).
+
+    Like the reference, every example is cut to the worst-case post-stretch
+    length ``(1 - max_tempo/100) * length`` so batch shapes stay static, and
+    with probability ``proba`` all stems of an example are resampled by the
+    SAME random pitch (semitones) + tempo (percent) factor. The reference
+    shells out to SoundTouch; here the stretch is a polyphase resample (the
+    combined pitch*tempo rate change), which keeps the augmentation host-only
+    and dependency-free.
+    """
+
+    def __init__(self, dataset: Wavset, proba: float = 0.2, max_pitch: int = 2,
+                 max_tempo: float = 12.0, tempo_std: float = 5.0, seed: int = 0):
+        assert dataset.length is not None, "repitch needs fixed-length examples"
+        self.dataset = dataset
+        self.proba = proba
+        self.max_pitch = max_pitch
+        self.max_tempo = max_tempo
+        self.tempo_std = tempo_std
+        self.rng = np.random.default_rng(seed)
+        self.out_length = int((1 - 0.01 * max_tempo) * dataset.length)
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        from fqss_tpu.utils.audio import resample_audio
+
+        example = self.dataset[index]  # [S, C, T]
+        out = example[..., : self.out_length]
+        if self.rng.uniform() < self.proba:
+            semitones = int(self.rng.integers(-self.max_pitch, self.max_pitch + 1))
+            tempo = float(np.clip(self.rng.normal(0, self.tempo_std), -self.max_tempo, self.max_tempo))
+            factor = (2.0 ** (semitones / 12.0)) * (1.0 + tempo / 100.0)
+            if abs(factor - 1.0) > 1e-3:
+                stretched = resample_audio(example, 1000, max(1, int(round(1000 * factor))))
+                out = stretched[..., : self.out_length]
+                pad = self.out_length - out.shape[-1]
+                if pad > 0:
+                    out = np.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, pad)])
+        return np.ascontiguousarray(out, np.float32)
+
+
 # ---------------------------------------------------------------------------
 # On-device demucs augmentations (musdbhq_dataset.py:21-115) — one jittable
 # transform over [B, n_sources, C, T] batches.

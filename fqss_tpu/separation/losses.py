@@ -69,18 +69,22 @@ def pit_neg_sisdr_db(est: Array, targets: Array, eps: float = EPS, per_sample: b
     return per if per_sample else jnp.mean(per)
 
 
-def pit_wsisdr_ratio(est: Array, targets: Array, weights: Array | None = None, eps: float = EPS) -> Array:
+def pit_wsisdr_ratio(
+    est: Array, targets: Array, weights: Array | None = None, eps: float = EPS, per_sample: bool = False
+) -> Array:
     """PIT over the (optionally weighted) negative SI-SDR *ratio* matrix —
     PITLossWrapper(pairwise_wsisdr, pit_from='pw_mtx') (mysystem.py:83).
 
-    Returns the batch-mean minimum of the negative weighted ratio; negate to
-    get the weighted best-permutation SI-SDR ratio.
+    Returns the batch-mean minimum of the negative weighted ratio (or the
+    per-sample [B] minima when ``per_sample`` — the speechbrain PitWrapper
+    keeps per-utterance losses, wsdr.py:102-110); negate to get the weighted
+    best-permutation SI-SDR ratio.
     """
     pw = -pairwise_sisdr_ratio(est, targets, eps=eps)  # take_log=False branch
     if weights is not None:
         pw = pw * weights[:, None, None]
     per = _perm_matrix_reduce(pw, lambda v: jnp.min(v, axis=-1))
-    return jnp.mean(per)
+    return per if per_sample else jnp.mean(per)
 
 
 def kd_sensitivity_weights(est: Array, fest: Array, targets: Array, eps: float = EPS) -> Array:
@@ -97,21 +101,26 @@ def fqss_kd_loss(
     targets: Array,
     kd_lambda: float,
     eps: float = EPS,
+    per_sample: bool = False,
 ) -> tuple[Array, Array]:
     """The FQSS speech training loss (mysystem.py:124-146).
 
     est:  student (quantized) separations [B, S, T]
     fest: float-teacher separations      [B, S, T] (stop-gradient applied here)
-    Returns (loss, kd_loss_db).
+    Returns (loss, kd_loss_db). ``per_sample`` keeps the per-utterance [B]
+    losses before the batch mean — the speechbrain KD path needs them for
+    loss thresholding (speechbrain_librimix_trainer.py:99-115,143-149, where
+    compute_kd_objectives returns per-sample values and the trainer filters
+    ``loss[loss > th]``).
     """
     fest = jax.lax.stop_gradient(fest)
     if kd_lambda > 0:
         w = kd_sensitivity_weights(est, fest, targets, eps)
-        kd_sdr = -pit_wsisdr_ratio(est, fest, weights=w, eps=eps)
-        task_sdr = -pit_wsisdr_ratio(est, targets, eps=eps)
+        kd_sdr = -pit_wsisdr_ratio(est, fest, weights=w, eps=eps, per_sample=per_sample)
+        task_sdr = -pit_wsisdr_ratio(est, targets, eps=eps, per_sample=per_sample)
         loss = -10.0 * jnp.log10((1.0 - kd_lambda) * task_sdr + kd_lambda * kd_sdr + eps)
         return loss, -10.0 * jnp.log10(kd_sdr + eps)
-    loss = pit_neg_sisdr_db(est, targets, eps)
+    loss = pit_neg_sisdr_db(est, targets, eps, per_sample=per_sample)
     return loss, jnp.zeros_like(loss)
 
 

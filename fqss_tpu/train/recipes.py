@@ -40,7 +40,7 @@ from fqss_tpu.train.trainer import (
 from fqss_tpu.utils.audio import set_seed
 
 
-def _make_datasets(dataset_cfg: Mapping[str, Any], seed: int):
+def _make_datasets(dataset_cfg: Mapping[str, Any], seed: int, use_speedperturb: bool = False):
     name = dataset_cfg.get("name", "librimix")
     if name == "librimix":
         common = dict(
@@ -53,6 +53,7 @@ def _make_datasets(dataset_cfg: Mapping[str, Any], seed: int):
         train_set = LibriMix(
             dataset_cfg["train_dir"],
             augmentation_cfg=dataset_cfg.get("augmentation"),
+            speed_perturb=use_speedperturb,  # train-only (sb.Stage.TRAIN guard)
             seed=seed,
             **common,
         )
@@ -72,7 +73,10 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
     set_seed(seed)
     dump_config(work_dir, dict(conf))
 
-    train_set, val_set = _make_datasets(dataset_cfg, seed)
+    # speechbrain env: speed-perturb augment on the training set
+    # (speechbrain_librimix_trainer.py:52-57 use_speedperturb).
+    use_sp = env_name == "speechbrain" and training_cfg.get("use_speedperturb", True)
+    train_set, val_set = _make_datasets(dataset_cfg, seed, use_speedperturb=use_sp)
     batch_size = training_cfg.get("batch_size", 2)
     seg_len = int(dataset_cfg.get("segment", 3) * dataset_cfg.get("sample_rate", 16000)
                   * dataset_cfg.get("resample", 1.0))
@@ -90,6 +94,7 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
         optimizer=optim_cfg.get("optimizer", "adam"),
         grad_clip=training_cfg.get("grad_clip", 5.0),
         threshold_byloss=env_name == "speechbrain" and training_cfg.get("threshold_byloss", False),
+        threshold=training_cfg.get("threshold", -30.0),
         loss_upper_lim=training_cfg.get("loss_upper_lim", 999999.0),
     )
     tx = make_optimizer(cfg)

@@ -5,9 +5,15 @@ Replaces the reference's two music trainers with the same SPMD step:
   subprocess DDP becomes mesh data parallelism; weighted-L1 KD with
   w = 10**((nsdr - nsdr_q)/10); Shift/FlipSign/FlipChannels/Scale augments
   (on-device here); grad-norm logging; best/latest/checkpoint saves.
-* htdemucs (train_env/htdemucs_musdbhq/solver.py:180-441): adds the Remix
-  augment, exp((sdr-sdr_q)/10) KD weights, and batch/epoch EMA model
-  tracking; periodic NSDR validation over held-out tracks.
+* htdemucs (train_env/htdemucs_musdbhq/solver.py): full solver behavior —
+  exp((sdr-sdr_q)/10) KD weights, Remix + repitch augments, batch AND epoch
+  EMA model zoos whose members are each validated with the main model every
+  epoch and the best selected by ``test.metric`` (solver.py:52-58,220-236),
+  best-state tracking/export (solver.py:256-260), periodic test-set
+  evaluation every ``test.every`` epochs (solver.py:262-287), per-module
+  optimizer groups for the cross-transformer (train.py:88-119
+  make_optim_group), checkpoint packages carrying EMA states + best_state +
+  history with resume/continue_from (solver.py:85-140).
 
 Both read the reference YAML schema (work_dir/model_cfg/dataset_cfg/
 training_cfg/testing_cfg).
@@ -15,8 +21,8 @@ training_cfg/testing_cfg).
 
 from __future__ import annotations
 
+import os
 import time
-from functools import partial
 from typing import Any, Mapping
 
 import numpy as np
@@ -25,18 +31,62 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from fqss_tpu.data.musdb import Wavset, augment_batch, get_musdb_wav_datasets
+from fqss_tpu.data.musdb import RepitchedWavset, Wavset, augment_batch, get_musdb_wav_datasets
 from fqss_tpu.models.factory import create_model_and_teacher
 from fqss_tpu.parallel import make_mesh, shard_batch
 from fqss_tpu.parallel.mesh import replicated_sharding
 from fqss_tpu.quant.quantizers import QPARAMS, QSTATS
-from fqss_tpu.separation.losses import music_kd_l1_loss
+from fqss_tpu.separation.losses import music_kd_l1_loss, nsdr_db
+from fqss_tpu.separation.ola import ola_infer
 from fqss_tpu.train.checkpoints import CheckpointManager, dump_config, export_model, save_log
 from fqss_tpu.train.state import TrainState, create_train_state
 from fqss_tpu.train.trainer import TrainConfig, _model_variables, make_optimizer
 from fqss_tpu.utils.audio import set_seed
 
 Array = jax.Array
+
+
+def make_music_optimizer(
+    cfg: TrainConfig, model_cfg: Mapping[str, Any], trainable_template: dict
+) -> optax.GradientTransformation:
+    """Optimizer with per-module groups (reference htdemucs train.py:88-119).
+
+    The cross-transformer exposes its own optim group with ``t_lr`` /
+    ``t_weight_decay`` (htdemucsq.py:525-529 make_optim_group); every other
+    parameter uses the base lr/weight_decay. Gradient clipping (when enabled)
+    stays global across groups like torch's clip_grad_norm_ over all params.
+    """
+    t_lr = model_cfg.get("t_lr")
+    t_wd = float(model_cfg.get("t_weight_decay") or 0.0)
+
+    def has_ct(tree) -> bool:
+        return isinstance(tree, Mapping) and any(
+            isinstance(sub, Mapping) and "crosstransformer" in sub for sub in tree.values()
+        )
+
+    if (t_lr is None and t_wd == 0.0) or not has_ct(trainable_template):
+        return make_optimizer(cfg)
+
+    def label_fn(tree):
+        def lab(path, _leaf):
+            keys = {getattr(p, "key", getattr(p, "name", None)) for p in path}
+            return "t" if "crosstransformer" in keys else "base"
+
+        return jax.tree_util.tree_map_with_path(lab, tree)
+
+    def adam_for(lr: float, wd: float) -> optax.GradientTransformation:
+        return optax.adamw(lr, weight_decay=wd) if wd else optax.adam(lr)
+
+    chain = []
+    if cfg.grad_clip and cfg.grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    chain.append(
+        optax.multi_transform(
+            {"base": adam_for(cfg.lr, cfg.weight_decay), "t": adam_for(t_lr or cfg.lr, t_wd)},
+            label_fn,
+        )
+    )
+    return optax.chain(*chain)
 
 
 def make_music_train_step(
@@ -47,13 +97,14 @@ def make_music_train_step(
     weight_kind: str = "pow10",
     augment_cfg: Mapping[str, Any] | None = None,
     is_htdemucs: bool = False,
-    ema_decays: tuple[float, ...] = (),
+    batch_ema_decays: tuple[float, ...] = (),
 ):
     """KD train step over source batches [B, n_sources, C, T].
 
     Augmentation runs on-device inside the step; mix = sum of (augmented)
-    sources (musdbhq_train.py:60-66). Optional EMA params are carried as a
-    dict ema[f'ema_{i}'] -> params tree (solver.py EMA models).
+    sources (musdbhq_train.py:60-66). Batch-level EMA models are updated
+    inside the step after the optimizer (solver.py:425-426); each EMA is a
+    {"params", "qparams"} tree zipped with a static decay.
     """
     aug = dict(augment_cfg or {})
 
@@ -86,7 +137,7 @@ def make_music_train_step(
         return loss, mutated
 
     @jax.jit
-    def train_step(state: TrainState, ema: dict, sources: Array, rng: Array):
+    def train_step(state: TrainState, batch_emas: tuple, sources: Array, rng: Array):
         (loss, mutated), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             state.trainable, state, sources, rng
         )
@@ -104,17 +155,66 @@ def make_music_train_step(
             opt_state=keep(new_opt_state, state.opt_state),
             skipped=state.skipped + (1 - ok.astype(jnp.int32)),
         )
-        # batch EMA models (solver.py: ema.batch decays)
-        new_ema = {}
-        for name, tree in ema.items():
-            decay = float(name.rsplit("_", 1)[-1]) if name.rsplit("_", 1)[-1].replace(".", "").isdigit() else 0.999
-            new_ema[name] = jax.tree_util.tree_map(
-                lambda e, p: decay * e + (1.0 - decay) * p, tree, new_state.params
-            )
+        current = {"params": new_state.params, "qparams": new_state.qparams}
+        new_emas = tuple(
+            jax.tree_util.tree_map(lambda e, p, d=decay: d * e + (1.0 - d) * p, ema, current)
+            for decay, ema in zip(batch_ema_decays, batch_emas)
+        )
         grad_norm = optax.global_norm(grads)
-        return new_state, new_ema, {"loss": loss, "grad_norm": grad_norm}
+        return new_state, new_emas, {"loss": loss, "grad_norm": grad_norm}
 
     return train_step
+
+
+def _ema_update_host(tree: dict, current: dict, decay: float) -> dict:
+    """Epoch-level EMA update (solver.py:438-440)."""
+    return jax.tree_util.tree_map(lambda e, p: decay * e + (1.0 - decay) * p, tree, current)
+
+
+def _validate_music(
+    model,
+    variables: dict,
+    valid_set: Wavset,
+    sources: tuple[str, ...],
+    weights: np.ndarray,
+    testing_cfg: Mapping[str, Any],
+    is_htdemucs: bool = False,
+    limit: int | None = None,
+) -> dict:
+    """Reference valid pass (solver.py:299-390, train=False): per full track,
+    mix = stored mixture, estimate via OLA apply (valid_apply, overlap=0),
+    weighted per-source L1 ``reco`` plus per-source NSDR."""
+    kwargs = {"train": False} if is_htdemucs else {}
+    apply_fn = jax.jit(lambda x: model.apply(variables, x, **kwargs))
+    n = len(valid_set) if limit is None else min(limit, len(valid_set))
+    recos, nsdrs = [], []
+    for i in range(n):
+        ex = np.asarray(valid_set[i])  # [1 + S, C, T]
+        mix, srcs = ex[0], ex[1:]
+        est = ola_infer(
+            apply_fn, mix, n_srcs=len(sources),
+            segment=testing_cfg.get("segment_samples"), overlap=0.0,
+        )
+        est = np.nan_to_num(est)[..., : srcs.shape[-1]]
+        l1 = np.abs(est - srcs).mean(axis=tuple(range(1, srcs.ndim)))  # per source
+        recos.append(float((l1 * weights).sum() / weights.sum()))
+        per_src = np.asarray(
+            nsdr_db(jnp.asarray(srcs.reshape(len(sources), -1)), jnp.asarray(est.reshape(len(sources), -1)))
+        )
+        nsdrs.append(per_src)
+    nsdrs = np.stack(nsdrs).mean(axis=0) if nsdrs else np.zeros(len(sources))
+    reco = float(np.mean(recos)) if recos else float("nan")
+    out = {"loss": reco, "reco": reco, "nsdr": float((nsdrs * weights).sum() / weights.sum())}
+    for name, v in zip(sources, nsdrs):
+        out[f"nsdr_{name}"] = float(v)
+    return out
+
+
+def _is_better(candidate: float, incumbent: float, metric: str) -> bool:
+    """solver.py:226-231 — nsdr metrics are maximized, losses minimized."""
+    if metric.startswith("nsdr"):
+        return candidate > incumbent
+    return candidate < incumbent
 
 
 def _train_music(conf: Mapping[str, Any], env: str) -> dict:
@@ -122,6 +222,7 @@ def _train_music(conf: Mapping[str, Any], env: str) -> dict:
     model_cfg = conf["model_cfg"]
     dataset_cfg = conf.get("dataset_cfg", {})
     training_cfg = conf.get("training_cfg", {})
+    testing_cfg = conf.get("testing_cfg", {})
 
     seed = training_cfg.get("seed", 0)
     set_seed(seed)
@@ -136,6 +237,22 @@ def _train_music(conf: Mapping[str, Any], env: str) -> dict:
         metadata_file=dataset_cfg.get("metadata_file"),
     )
 
+    is_htd = env == "htdemucs"
+    aug_cfg = dict(dataset_cfg.get("augmentation", {"enable": True, "shift": min(8192, samples // 8)}))
+    repitch_cfg = dict(aug_cfg.pop("repitch", {}) or {})
+    if is_htd and repitch_cfg.get("proba", 0) > 0:
+        # RepitchedWrapper (train.py:207-214): wraps the train set only; all
+        # examples shrink to the worst-case stretched length.
+        train_set = RepitchedWavset(
+            train_set,
+            proba=repitch_cfg.get("proba", 0.2),
+            max_pitch=repitch_cfg.get("max_pitch", 2),
+            max_tempo=repitch_cfg.get("max_tempo", 12.0),
+            tempo_std=repitch_cfg.get("tempo_std", 5.0),
+            seed=seed,
+        )
+        samples = train_set.out_length
+
     batch_size = training_cfg.get("batch_size", 4)
     example = jnp.zeros((batch_size, model_cfg.get("audio_channels", 2), samples), jnp.float32)
     model, qvars, teacher, teacher_params = create_model_and_teacher(
@@ -148,14 +265,22 @@ def _train_music(conf: Mapping[str, Any], env: str) -> dict:
         lr=optim_cfg.get("lr", 3e-4),
         weight_decay=optim_cfg.get("weight_decay", 0.0),
         optimizer=optim_cfg.get("optimizer", "adam"),
-        grad_clip=training_cfg.get("grad_clip", 5.0),
+        # reference htdemucs default optim.clip_grad: 0 (no clipping)
+        grad_clip=training_cfg.get("grad_clip", optim_cfg.get("clip_grad", 0.0) if is_htd else 5.0),
     )
-    tx = make_optimizer(cfg)
+    trainable_template = {"params": qvars.get("params", {}), "qparams": qvars.get("qparams", {})}
+    tx = make_music_optimizer(cfg, model_cfg, trainable_template) if is_htd else make_optimizer(cfg)
     state = create_train_state(qvars, tx, teacher_params=teacher_params)
 
-    is_htd = env == "htdemucs"
-    ema_decays = tuple(training_cfg.get("ema_batch", [0.9995] if is_htd else []))
-    ema = {f"ema_{d}": state.params for d in ema_decays}
+    # EMA model zoo (solver.py:49-58). Config: training_cfg.ema.{batch,epoch}
+    # decay lists; legacy key ema_batch maps to ema.batch.
+    ema_cfg = dict(training_cfg.get("ema", {}) or {})
+    batch_decays = tuple(ema_cfg.get("batch", training_cfg.get("ema_batch", [0.9995] if is_htd else [])))
+    epoch_decays = tuple(ema_cfg.get("epoch", ()) if is_htd else ())
+    current0 = {"params": state.params, "qparams": state.qparams}
+    batch_emas = tuple(jax.tree_util.tree_map(jnp.array, current0) for _ in batch_decays)
+    epoch_emas = [jax.tree_util.tree_map(jnp.array, current0) for _ in epoch_decays]
+    best_state = jax.tree_util.tree_map(np.asarray, current0)
 
     n_dev = len(jax.devices())
     while batch_size % n_dev != 0:
@@ -166,41 +291,155 @@ def _train_music(conf: Mapping[str, Any], env: str) -> dict:
     step_fn = make_music_train_step(
         model, teacher, tx, cfg,
         weight_kind="exp" if is_htd else "pow10",
-        augment_cfg=dataset_cfg.get("augmentation", {"enable": True, "shift": min(8192, samples // 8)}),
+        augment_cfg=aug_cfg,
         is_htdemucs=is_htd,
-        ema_decays=ema_decays,
+        batch_ema_decays=batch_decays,
     )
 
+    weights = np.asarray(training_cfg.get("weights", [1.0] * len(sources)), np.float32)
+    test_cfg = dict(training_cfg.get("test", {}) or {})
+    test_every = int(test_cfg.get("every", testing_cfg.get("every", 0) or 0))
+    test_metric = str(test_cfg.get("metric", "loss"))
+    test_best = bool(test_cfg.get("best", True))
+    valid_limit = training_cfg.get("valid_limit")
+
     ckpt = CheckpointManager(work_dir)
+
+    def ckpt_tree(state_host):
+        return {
+            "state": state_host,
+            "batch_emas": jax.tree_util.tree_map(np.asarray, batch_emas),
+            "epoch_emas": jax.tree_util.tree_map(np.asarray, epoch_emas),
+            "best_state": best_state,
+        }
+
+    # Resume (solver.py:111-122): a checkpoint in work_dir restores state,
+    # EMAs, best_state, and the metric history is replayed. continue_from
+    # (solver.py:128-140) seeds the model from another experiment's package.
+    start_epoch = 0
+    template = ckpt_tree(jax.device_get(state))
+    if ckpt.mgr.latest_step() is not None:
+        restored, last_epoch = ckpt.restore_latest(template)
+        state = jax.device_put(restored["state"], replicated_sharding(mesh))
+        batch_emas = tuple(jax.device_put(t, replicated_sharding(mesh)) for t in restored["batch_emas"])
+        epoch_emas = list(restored["epoch_emas"])
+        best_state = restored["best_state"]
+        start_epoch = last_epoch + 1
+        for h in ckpt.history:
+            save_log(work_dir, f"replay epoch {h.get('epoch')}: " + " ".join(
+                f"{k}={v:.4f}" for k, v in h.items() if k != "epoch" and isinstance(v, float)))
+        save_log(work_dir, f"resumed from checkpoint at epoch {last_epoch}")
+    elif training_cfg.get("continue_from"):
+        other = CheckpointManager(training_cfg["continue_from"])
+        if other.mgr.latest_step() is not None:
+            restored, _ = (other.restore_best(template) if training_cfg.get("continue_best", True)
+                           else other.restore_latest(template))
+            src_tree = restored["best_state"] if training_cfg.get("continue_best", True) else {
+                "params": restored["state"].params, "qparams": restored["state"].qparams}
+            state = state.replace(params=src_tree["params"], qparams=src_tree["qparams"])
+            state = jax.device_put(jax.device_get(state), replicated_sharding(mesh))
+            save_log(work_dir, f"continued from {training_cfg['continue_from']}")
+        other.close()
+
     rng = jax.random.PRNGKey(seed)
     epochs = training_cfg.get("epochs", 4)
+    metric_history: list[float] = [
+        h[f"valid_{test_metric}"] for h in ckpt.history if f"valid_{test_metric}" in h
+    ]
     best_loss = float("inf")
     order = np.arange(len(train_set))
-    for epoch in range(epochs):
+    result_test: dict | None = None
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         np.random.default_rng(seed + epoch).shuffle(order)
         losses = []
+        metrics = {"grad_norm": 0.0}
         for i in range(0, (len(order) // batch_size) * batch_size, batch_size):
             batch = np.stack([train_set[int(j)] for j in order[i : i + batch_size]])  # [B, S, C, T]
             rng, sub = jax.random.split(rng)
             bsrc = shard_batch(jnp.asarray(batch), mesh)
-            state, ema, metrics = step_fn(state, ema, bsrc, sub)
+            state, batch_emas, metrics = step_fn(state, batch_emas, bsrc, sub)
             losses.append(float(metrics["loss"]))
         mean_loss = float(np.mean(losses)) if losses else float("nan")
-        save_log(work_dir, f"epoch {epoch}: loss={mean_loss:.5f} "
-                           f"grad_norm={float(metrics['grad_norm']):.3f} time={time.time() - t0:.1f}s")
-        ckpt.save(epoch, jax.device_get(state), {"val_loss": mean_loss, "loss": mean_loss})
-        variables = {"params": jax.device_get(state.params)}
+
+        # epoch EMAs update once per epoch (solver.py:438-440)
+        current = {"params": state.params, "qparams": state.qparams}
+        epoch_emas = [_ema_update_host(t, current, d) for t, d in zip(epoch_emas, epoch_decays)]
+
+        # Cross-validate main + every EMA; keep the best by test.metric
+        # (solver.py:208-236).
+        candidates: list[tuple[str, dict]] = [("main", jax.device_get(current))]
+        candidates += [(f"ema_batch_{k}", jax.device_get(t)) for k, t in enumerate(batch_emas)]
+        candidates += [(f"ema_epoch_{k}", jax.device_get(t)) for k, t in enumerate(epoch_emas)]
+        qvars_extra = {k: v for k, v in (("qstats", jax.device_get(state.qstats)),
+                                         ("batch_stats", jax.device_get(state.batch_stats))) if v}
+        bname, bvalid, bstate_tree = None, None, None
+        valid_main = None
+        for name, tree in candidates:
+            variables = {"params": tree["params"], **qvars_extra}
+            if tree["qparams"]:
+                variables["qparams"] = tree["qparams"]
+            v = _validate_music(model, variables, valid_set, sources, weights, testing_cfg,
+                                is_htdemucs=is_htd, limit=valid_limit)
+            if name == "main":
+                valid_main = v
+            if bvalid is None or _is_better(v[test_metric], bvalid[test_metric], test_metric):
+                bname, bvalid, bstate_tree = name, v, tree
+        valid_loss = bvalid[test_metric]
+        metric_history.append(valid_loss)
+        hist_best = (max if test_metric.startswith("nsdr") else min)(metric_history)
+        if valid_loss == hist_best:
+            best_state = jax.tree_util.tree_map(np.asarray, bstate_tree)
+
+        save_log(
+            work_dir,
+            f"epoch {epoch}: loss={mean_loss:.5f} valid_loss={valid_main['loss']:.5f} "
+            f"valid_nsdr={valid_main['nsdr']:.3f} best={hist_best:.5f} bname={bname} "
+            f"grad_norm={float(metrics['grad_norm']):.3f} time={time.time() - t0:.1f}s",
+        )
+
+        epoch_metrics = {
+            "val_loss": float(valid_main["loss"]), "loss": mean_loss,
+            f"valid_{test_metric}": float(valid_loss), "valid_nsdr": float(bvalid["nsdr"]),
+        }
+        ckpt.save(epoch, ckpt_tree(jax.device_get(state)), epoch_metrics)
+
+        variables = {"params": jax.device_get(state.params), **qvars_extra}
         if state.qparams:
             variables["qparams"] = jax.device_get(state.qparams)
-        if state.qstats:
-            variables["qstats"] = jax.device_get(state.qstats)
         export_model(f"{work_dir}/latest_model.npz", variables)
-        if mean_loss < best_loss:
-            best_loss = mean_loss
-            export_model(f"{work_dir}/best_model.npz", variables)
+        if valid_loss == hist_best:
+            best_vars = {"params": best_state["params"], **qvars_extra}
+            if best_state["qparams"]:
+                best_vars["qparams"] = best_state["qparams"]
+            export_model(f"{work_dir}/best_model.npz", best_vars)
+        best_loss = min(best_loss, mean_loss)
+
+        # Periodic test-set evaluation (solver.py:262-287) with the best
+        # known state (test.best).
+        is_last = epoch == epochs - 1
+        if testing_cfg.get("test_dir") and ((test_every and (epoch + 1) % test_every == 0) or is_last):
+            from fqss_tpu.train.validate_musdb import val_musdbhq_nsdr
+
+            eval_tree = best_state if test_best else jax.device_get(current)
+            eval_vars = {"params": eval_tree["params"], **qvars_extra}
+            if eval_tree["qparams"]:
+                eval_vars["qparams"] = eval_tree["qparams"]
+            vals = val_musdbhq_nsdr(model, eval_vars, model_cfg, testing_cfg, limit=testing_cfg.get("limit"))
+            result_test = {"nsdr": vals[0], **{f"nsdr_{s}": v for s, v in zip(sources, vals[1:])}}
+            save_log(work_dir, f"test epoch {epoch}: " + " ".join(f"{k}={v:.3f}" for k, v in result_test.items()))
+
     ckpt.close()
-    return {"best_loss": best_loss, "epochs_run": epochs, "state": jax.device_get(state), "ema": ema}
+    return {
+        "best_loss": best_loss,
+        "epochs_run": epochs,
+        "state": jax.device_get(state),
+        "best_state": best_state,
+        "batch_emas": jax.tree_util.tree_map(np.asarray, batch_emas),
+        "epoch_emas": jax.tree_util.tree_map(np.asarray, epoch_emas),
+        "bname": bname if epochs > start_epoch else None,
+        "test": result_test,
+    }
 
 
 def train_tasnet_music(conf: Mapping[str, Any]) -> dict:

@@ -124,14 +124,25 @@ def make_train_step(
                 fest = teacher.apply({"params": state.teacher_params}, mix)[..., :t_len]
         else:
             fest = jax.lax.stop_gradient(est)
-        if cfg.threshold_byloss and cfg.kd_lambda <= 0:
+        if cfg.threshold_byloss:
             # speechbrain per-sample loss thresholding: keep only the hard
-            # samples (loss > threshold) before the mean
-            # (speechbrain_librimix_trainer.py:144-151).
-            per = pit_neg_sisdr_db(est, targets, per_sample=True)
+            # samples (loss > threshold) before the mean — applied to the
+            # KD-weighted per-sample losses exactly as the reference does
+            # during QAT/KD training (speechbrain_librimix_trainer.py:138-149:
+            # compute_kd_objectives returns per-utterance losses, then
+            # ``loss[loss > th].mean()``). When no sample clears the
+            # threshold the reference keeps the unfiltered mean.
+            per, kd_per = fqss_kd_loss(
+                est, fest, targets, kd_lambda=cfg.kd_lambda, per_sample=True
+            )
             keep = (per > cfg.threshold).astype(per.dtype)
-            loss = jnp.sum(per * keep) / jnp.maximum(jnp.sum(keep), 1.0)
-            return loss, (jnp.zeros_like(loss), mutated)
+            n_keep = jnp.sum(keep)
+            loss = jnp.where(
+                n_keep > 0,
+                jnp.sum(per * keep) / jnp.maximum(n_keep, 1.0),
+                jnp.mean(per),
+            )
+            return loss, (jnp.mean(kd_per), mutated)
         loss, kd_loss = loss_fn(est, fest, targets)
         return loss, (kd_loss, mutated)
 

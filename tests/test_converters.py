@@ -35,6 +35,7 @@ def _shapes(tree):
     return jax.tree_util.tree_map(lambda a: np.asarray(a).shape, tree)
 
 
+@pytest.mark.slow
 def test_dptnet_converter_parity():
     import torch
 

@@ -1,6 +1,7 @@
 """DPTNet model tests: segmentation round-trip vs torch oracle, OLA, forward."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +68,7 @@ def test_overlap_and_add_matches_torch_fold():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dptnet_forward_float_and_qat():
     kw = dict(n_srcs=2, kernel_size=2, enc_dim=16, feature_dim=8, hidden_dim=8, layer=1, segment_size=10)
     x = jax.random.uniform(jax.random.PRNGKey(0), (1, 400), minval=-1, maxval=1)

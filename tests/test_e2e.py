@@ -80,6 +80,26 @@ def test_librimix_augmentation(mini_dataset):
     assert mix.shape == (4000,)
 
 
+def test_librimix_speed_perturb(mini_dataset):
+    """speechbrain speed-perturb: per-source random-speed resample, mixture
+    re-summed from the perturbed sources (speechbrain_librimix_trainer.py:52-57)."""
+    _, train_dir, _ = mini_dataset
+    ds = LibriMix(train_dir, task="sep_clean", sample_rate=8000, n_src=2, segment=0.5,
+                  speed_perturb=True, seed=3)
+    base = LibriMix(train_dir, task="sep_clean", sample_rate=8000, n_src=2, segment=0.5, seed=3)
+    changed = False
+    for i in range(len(ds)):
+        mix, src = ds[i]
+        assert mix.shape == (4000,) and src.shape == (2, 4000)
+        # invariant: the mixture is exactly the sum of the (perturbed) sources
+        np.testing.assert_allclose(mix, src.sum(0), atol=1e-6)
+        _, src0 = base[i]
+        if not np.allclose(src, src0):
+            changed = True
+    assert changed  # at least one draw actually perturbed a source
+
+
+@pytest.mark.slow
 def test_train_speech_recipe_end_to_end(mini_dataset):
     root, train_dir, val_dir = mini_dataset
     conf = _smoke_conf(root, train_dir, val_dir)
@@ -151,6 +171,7 @@ dataloader_opts:
     assert conf["dataloader_opts"]["batch_size"] == 4
 
 
+@pytest.mark.slow
 def test_train_speech_resume_from_checkpoint(mini_dataset):
     """observer=False resumes from the work_dir checkpoint (the reference's
     resume semantics, configs/convtasnet_2spks_8k.yaml:26)."""

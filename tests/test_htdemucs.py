@@ -119,6 +119,7 @@ def test_sin_embeddings_match_torch_formulas():
     np.testing.assert_allclose(got2[0], pe.numpy(), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_htdemucs_float_forward():
     m = HTDemucs(**TINY)
     x = jax.random.uniform(jax.random.PRNGKey(0), (1, 2, 4000), minval=-1, maxval=1)
@@ -128,6 +129,7 @@ def test_htdemucs_float_forward():
     assert bool(jnp.isfinite(y).all())
 
 
+@pytest.mark.slow
 def test_htdemucs_qat_forward_and_plan():
     q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
     m = HTDemucs(q=q, **TINY)

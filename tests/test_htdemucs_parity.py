@@ -84,6 +84,7 @@ def _install_stubs():
         sys.path.insert(0, REF)
 
 
+@pytest.mark.slow
 def test_htdemucs_float_parity_with_reference():
     import torch
 

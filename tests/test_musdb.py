@@ -61,6 +61,7 @@ def test_augment_batch_semantics():
     )
 
 
+@pytest.mark.slow
 def test_music_recipe_end_to_end(mini_musdb, tmp_path):
     conf = {
         "work_dir": str(tmp_path / "work"),
@@ -106,6 +107,118 @@ def test_music_recipe_end_to_end(mini_musdb, tmp_path):
     assert len(vals) == 5 and np.isfinite(vals[0])
     sdr_vals = val_musdbhq(model, variables, model_cfg, conf["testing_cfg"], limit=1)
     assert len(sdr_vals) == 5 and np.isfinite(sdr_vals[0])
+
+
+def test_repitched_wavset_static_shape(mini_musdb):
+    from fqss_tpu.data.musdb import RepitchedWavset, build_metadata
+
+    meta = build_metadata(os.path.join(mini_musdb, "train"), SOURCES)
+    ws = Wavset(os.path.join(mini_musdb, "train"), meta, SOURCES, length=4000, stride=2000, sample_rate=8000)
+    rp = RepitchedWavset(ws, proba=1.0, max_pitch=2, max_tempo=12.0, seed=0)
+    assert rp.out_length == int(0.88 * 4000)
+    assert len(rp) == len(ws)
+    seen_change = False
+    for i in range(len(rp)):
+        ex = rp[i]
+        assert ex.shape == (4, 2, rp.out_length)  # static across draws
+        assert np.isfinite(ex).all()
+        if not np.allclose(ex, ws[i][..., : rp.out_length]):
+            seen_change = True
+    assert seen_change
+
+
+def test_make_music_optimizer_groups():
+    """Per-module optim groups (train.py:88-119): the crosstransformer
+    subtree gets its own lr, everything else the base lr."""
+    import optax
+
+    from fqss_tpu.train.recipes_music import make_music_optimizer
+    from fqss_tpu.train.trainer import TrainConfig
+
+    trainable = {
+        "params": {
+            "encoder_0": {"w": jnp.ones((4,))},
+            "crosstransformer": {"layer_0": {"w": jnp.ones((4,))}},
+        },
+        "qparams": {"crosstransformer": {"layer_0": {"min_range": jnp.ones((1,))}}},
+    }
+    cfg = TrainConfig(lr=1.0, grad_clip=0.0, weight_decay=0.0)
+    tx = make_music_optimizer(cfg, {"t_lr": 0.1, "t_weight_decay": 0.0}, trainable)
+    opt_state = tx.init(trainable)
+    grads = jax.tree_util.tree_map(jnp.ones_like, trainable)
+    updates, _ = tx.update(grads, opt_state, trainable)
+    # adam first step: update magnitude == lr (bias-corrected m/sqrt(v) = 1)
+    base_u = float(np.abs(updates["params"]["encoder_0"]["w"][0]))
+    t_u = float(np.abs(updates["params"]["crosstransformer"]["layer_0"]["w"][0]))
+    tq_u = float(np.abs(updates["qparams"]["crosstransformer"]["layer_0"]["min_range"][0]))
+    np.testing.assert_allclose(base_u, 1.0, rtol=1e-4)
+    np.testing.assert_allclose(t_u, 0.1, rtol=1e-4)
+    np.testing.assert_allclose(tq_u, 0.1, rtol=1e-4)
+
+    # without t_lr/t_weight_decay the plain optimizer is used
+    tx2 = make_music_optimizer(cfg, {}, trainable)
+    u2, _ = tx2.update(grads, tx2.init(trainable), trainable)
+    np.testing.assert_allclose(
+        float(np.abs(u2["params"]["crosstransformer"]["layer_0"]["w"][0])), 1.0, rtol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_htdemucs_solver_parity_end_to_end(mini_musdb, tmp_path):
+    """The htdemucs recipe runs the full solver behavior set: repitch-wrapped
+    train set, batch+epoch EMA models validated each epoch with best-state
+    selection (solver.py:52-58,220-236), periodic test eval (solver.py:262-287),
+    checkpoint packages with EMA states, and resume with history replay."""
+    conf = {
+        "work_dir": str(tmp_path / "work_htd"),
+        "model_cfg": {
+            "name": "HTDemucs",
+            "sources": list(SOURCES),
+            "audio_channels": 2,
+            "channels": 8, "nfft": 512, "t_layers": 3, "t_heads": 4,
+            "segment": 0.5, "samplerate": 8000,
+            "quantization": {"qat": True, "observer": True, "n_splitter": 1, "n_combiner": 1},
+        },
+        "dataset_cfg": {
+            "musdb_root": mini_musdb,
+            "sample_rate": 8000,
+            "segment": 0.5,
+            "data_stride": 0.25,
+            "augmentation": {
+                "enable": True, "shift": 80, "remix_group_size": 2,
+                "repitch": {"proba": 1.0, "max_tempo": 12},
+            },
+        },
+        "training_cfg": {
+            "epochs": 2, "batch_size": 2, "kd_lambda": 0.0, "seed": 0,
+            "optim": {"lr": 1e-3},
+            "ema": {"batch": [0.5], "epoch": [0.5]},
+            "test": {"every": 2, "metric": "loss", "best": True},
+            "valid_limit": 1,
+        },
+        "testing_cfg": {"test_dir": mini_musdb, "overlap": 0.25, "segment_samples": 3520, "limit": 1},
+    }
+    from fqss_tpu.train.recipes_music import train_htdemucs
+
+    result = train_htdemucs(conf)
+    assert np.isfinite(result["best_loss"])
+    # repitch wrapped the train set: the model saw the shrunk segment length
+    assert result["state"].params  # trained
+    # EMA zoo exists and the batch EMA drifted from init toward the params
+    assert len(result["batch_emas"]) == 1 and len(result["epoch_emas"]) == 1
+    assert result["bname"] in {"main", "ema_batch_0", "ema_epoch_0"}
+    # periodic test ran (epoch 2 % every == 0 and last epoch)
+    assert result["test"] is not None and np.isfinite(result["test"]["nsdr"])
+    work = conf["work_dir"]
+    assert os.path.exists(os.path.join(work, "best_model.npz"))
+
+    # resume: one more epoch restores EMAs + best_state and replays history
+    conf2 = dict(conf, training_cfg=dict(conf["training_cfg"], epochs=3))
+    r2 = train_htdemucs(conf2)
+    assert r2["epochs_run"] == 3
+    with open(os.path.join(work, "results.txt")) as f:
+        txt = f.read()
+    assert "resumed from checkpoint" in txt and "replay epoch" in txt
 
 
 def test_native_wav_segment_reader(tmp_path):

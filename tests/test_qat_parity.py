@@ -45,6 +45,7 @@ def _load_reference():
     return ConvTasNetQ, quantize_model, enable_observer
 
 
+@pytest.mark.slow
 def test_quantized_forward_parity_convtasnet():
     import torch
 
@@ -124,6 +125,7 @@ def test_quantized_forward_parity_convtasnet():
     assert c > 0.99, c
 
 
+@pytest.mark.slow
 def test_quantized_forward_parity_dptnet():
     """DPTNet QAT-state import: transformer (MHA+LSTM-FFN) quantizer sites
     loaded from the reference post-surgery state; outputs must agree."""

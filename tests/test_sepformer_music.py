@@ -1,6 +1,7 @@
 """Sepformer and ConvTasNetMusic forward/quant-plan tests (tiny configs)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +25,7 @@ def test_sinusoidal_pe_matches_torch_reference_formula():
     np.testing.assert_allclose(sinusoidal_pe(max_len, d), pe.numpy(), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sepformer_forward_float_and_qat():
     kw = dict(n_srcs=2, kernel_size=16, stride=8, n_filters=16, n_repeats=1,
               n_heads=2, chunk_size=10, n_ffn=16, n_layers=1)

@@ -2,6 +2,7 @@
 and the data-parallel step over an 8-device CPU mesh matches single-device."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +27,7 @@ def _init_state(model, teacher, cfg, x):
     return create_train_state(dict(v), tx, teacher_params=tv["params"]), tx
 
 
+@pytest.mark.slow
 def test_qat_overfit_synthetic():
     """The full KD QAT loop must reduce loss on a fixed synthetic batch."""
     model, teacher = _tiny_models()
@@ -45,6 +47,7 @@ def test_qat_overfit_synthetic():
     assert int(state.skipped) == 0
 
 
+@pytest.mark.slow
 def test_observer_phase_then_training():
     model, teacher = _tiny_models(observer=True)
     cfg = TrainConfig(kd_lambda=0.1, lr=1e-3)
@@ -83,6 +86,7 @@ def test_skip_nonfinite_batch():
     assert int(state.skipped) == 1
 
 
+@pytest.mark.slow
 def test_dp_mesh_step_matches_single_device():
     """DP over the 8-device CPU mesh: same batch -> same params as 1 device."""
     model, teacher = _tiny_models()
@@ -139,6 +143,7 @@ def test_lr_schedulers():
     assert es.update(1.5)
 
 
+@pytest.mark.slow
 def test_threshold_byloss_keeps_hard_samples():
     """speechbrain per-sample thresholding: easy samples (loss <= th) are
     dropped from the mean (speechbrain_librimix_trainer.py:144-151)."""
@@ -150,11 +155,48 @@ def test_threshold_byloss_keeps_hard_samples():
     step = make_train_step(model, teacher, tx, cfg)
     state, m = step(state, jnp.asarray(mix), jnp.asarray(src))
     assert np.isfinite(float(m["loss"]))
-    # with an untrained model every sample is "hard" (loss > -30), so the
-    # thresholded loss equals the plain per-sample mean
-    from fqss_tpu.separation.losses import pit_neg_sisdr_db
-
-    est = model.apply({"params": state.params, "qparams": state.qparams, "qstats": state.qstats},
-                      jnp.asarray(mix))[..., :2000]
-    # sanity only: loss finite and batch not skipped
     assert int(state.skipped) == 0
+
+
+def test_threshold_byloss_applies_under_kd():
+    """The reference applies per-sample thresholding to the KD-weighted loss
+    during QAT training (speechbrain_librimix_trainer.py:138-149) — the
+    trainer must threshold the KD loss, not just the plain task loss."""
+    from fqss_tpu.separation.losses import fqss_kd_loss
+    from fqss_tpu.train.trainer import _model_variables
+
+    model, teacher = _tiny_models()
+    rng = np.random.default_rng(8)
+    mix, src = synth_batch(rng, batch=4, n_src=2, length=2000)
+    mixj, srcj = jnp.asarray(mix), jnp.asarray(src)
+
+    # per-sample KD losses from the exact loss function
+    cfg0 = TrainConfig(kd_lambda=0.1, lr=1e-3)
+    state, _ = _init_state(model, teacher, cfg0, mixj)
+    variables = _model_variables(state, state.trainable)
+    est = model.apply(variables, mixj)[..., :2000]
+    fest = teacher.apply({"params": state.teacher_params}, mixj)[..., :2000]
+    per, _ = fqss_kd_loss(est, fest, srcj, kd_lambda=0.1, per_sample=True)
+    per = np.asarray(per)
+    assert per.shape == (4,)
+
+    # pick a threshold that drops exactly the easiest sample (midpoint, so
+    # float noise between plain and under-grad forwards can't flip the mask)
+    s = np.sort(per)
+    th = float((s[0] + s[1]) / 2)
+    expected = per[per > th].mean()
+
+    cfg = TrainConfig(kd_lambda=0.1, lr=1e-3, threshold_byloss=True, threshold=th)
+    tx = make_optimizer(cfg)
+    step = make_train_step(model, teacher, tx, cfg)
+    _, m = step(state, mixj, srcj)
+    # in-step forward differs from the standalone one by f32 fusion noise
+    # (~1e-3 rel) — assert the filtered mean, not the plain mean, was used
+    np.testing.assert_allclose(float(m["loss"]), expected, rtol=2e-3)
+    assert abs(float(m["loss"]) - expected) < abs(float(m["loss"]) - per.mean())
+
+    # threshold above every sample: reference falls back to the plain mean
+    cfg_hi = TrainConfig(kd_lambda=0.1, lr=1e-3, threshold_byloss=True, threshold=float(per.max() + 1))
+    step_hi = make_train_step(model, teacher, make_optimizer(cfg_hi), cfg_hi)
+    _, m_hi = step_hi(state, mixj, srcj)
+    np.testing.assert_allclose(float(m_hi["loss"]), per.mean(), rtol=2e-3)
