@@ -267,6 +267,10 @@ def htdemucs_params_from_torch(
         return out
 
     params: dict = {"freq_emb": {"embedding": sd["freq_emb.embedding.weight"]}}
+    # bottom_channels > 0: 1x1 samplers around the transformer (htdemucsq.py:880-892)
+    for name in ("channel_upsampler", "channel_upsampler_t", "channel_downsampler", "channel_downsampler_t"):
+        if f"{name}.weight" in sd:
+            params[name] = {"kernel": conv1d_w(sd[f"{name}.weight"]), "bias": sd[f"{name}.bias"]}
     for i in range(depth):
         params[f"encoder_{i}"] = henc(f"encoder.{i}", freq=True)
         params[f"tencoder_{i}"] = henc(f"tencoder.{i}", freq=False)
@@ -298,6 +302,29 @@ def _wq_ranges(sd: Mapping[str, np.ndarray], prefix: str, to_last_axis: bool = T
 
 def _aq_ranges(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
     return {"min_range": sd[f"{prefix}.min_range"], "max_range": sd[f"{prefix}.max_range"]}
+
+
+def _aq_only(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    """A module whose only quantizer state is its output act quantizer
+    (AddQ/MulQ/ConstQ/NlQ)."""
+    return {"activation_fake_quantize": _aq_ranges(sd, f"{prefix}.activation_fake_quantize")}
+
+
+def _mha_qat(sd: Mapping[str, np.ndarray], p: str) -> tuple[dict, dict]:
+    """MultiheadAttentionQ (qat_layers.py:865-990) -> QMultiheadAttention.
+    ``p`` is the wrapped module path; the inner torch MHA is its ``mha``."""
+    prm = {
+        "in_proj_kernel": linear_w(sd[f"{p}.mha.in_proj_weight"]),
+        "in_proj_bias": sd[f"{p}.mha.in_proj_bias"],
+        "out_proj_kernel": linear_w(sd[f"{p}.mha.out_proj.weight"]),
+        "out_proj_bias": sd[f"{p}.mha.out_proj.bias"],
+    }
+    qp = {"weight_fake_quantize_in": _wq_ranges(sd, f"{p}.weight_fake_quantize_in"),
+          "weight_fake_quantize_out": _wq_ranges(sd, f"{p}.weight_fake_quantize_out")}
+    for site in ("q", "k", "v", "div", "attn", "softmax", "head"):
+        qp[f"activation_fake_quantize_{site}"] = _aq_ranges(sd, f"{p}.activation_fake_quantize_{site}")
+    qp["activation_fake_quantize"] = _aq_ranges(sd, f"{p}.activation_fake_quantize")
+    return prm, qp
 
 
 def convtasnet_qat_from_torch(sd: Mapping[str, np.ndarray], n_repeats: int = 3, n_blocks: int = 8,
@@ -516,4 +543,374 @@ def dptnet_qat_from_torch(sd: Mapping[str, np.ndarray], layer: int = 6, n_combin
         dec_q["activation_fake_quantize_residual"] = _aq_ranges(sd, "decoder.basis_signals.activation_fake_quantize_residual")
     params["decoder"] = dec_p
     qparams["decoder"] = dec_q
+    return params, qparams
+
+
+def sepformer_qat_from_torch(sd: Mapping[str, np.ndarray], n_repeats: int = 2, n_layers: int = 8,
+                             n_combiner: int = 2) -> tuple[dict, dict]:
+    """Map a reference QAT SepformerQ state_dict (post quantize_model surgery,
+    sepformerq.py:472-527) onto (params, qparams) for
+    fqss_tpu.models.sepformer.Sepformer. Load with observer=False.
+
+    The Sepformer combiner trains its residual decoder (train_res_dec=True,
+    sepformerq.py:501), so the residual block carries both a residual encoder
+    AND a trainable residual decoder with its own weight quantizer.
+    """
+
+    def conv_q(p: str, bias: bool = True) -> tuple[dict, dict]:
+        prm = {"kernel": conv1d_w(sd[f"{p}.conv1d.weight"])}
+        if bias and f"{p}.conv1d.bias" in sd:
+            prm["bias"] = sd[f"{p}.conv1d.bias"]
+        qp = {"weight_fake_quantize": _wq_ranges(sd, f"{p}.weight_fake_quantize"),
+              "activation_fake_quantize": _aq_ranges(sd, f"{p}.activation_fake_quantize")}
+        return prm, qp
+
+    def ln_q(p: str) -> tuple[dict, dict]:
+        prm = {"norm": {"scale": sd[f"{p}.layernorm.weight"], "bias": sd[f"{p}.layernorm.bias"]}}
+        return prm, _aq_only(sd, p)
+
+    def gn_q(p: str) -> tuple[dict, dict]:
+        prm = {"norm": {"scale": sd[f"{p}.groupnorm.weight"], "bias": sd[f"{p}.groupnorm.bias"]}}
+        return prm, _aq_only(sd, p)
+
+    def dense_q(p: str) -> tuple[dict, dict]:
+        prm = {"kernel": linear_w(sd[f"{p}.linear.weight"]), "bias": sd[f"{p}.linear.bias"]}
+        qp = {"weight_fake_quantize": _wq_ranges(sd, f"{p}.weight_fake_quantize"),
+              "activation_fake_quantize": _aq_ranges(sd, f"{p}.activation_fake_quantize")}
+        return prm, qp
+
+    def tblock(p: str) -> tuple[dict, dict]:
+        bp: dict = {}
+        bq: dict = {"pos_const": _aq_only(sd, f"{p}.pos.const"), "pos_add": _aq_only(sd, f"{p}.pos_add")}
+        bp["norm"], bq["norm"] = ln_q(f"{p}.norm")
+        for li in range(n_layers):
+            q0 = f"{p}.layers.{li}"
+            lp: dict = {}
+            lq: dict = {"ffn_relu": _aq_only(sd, f"{q0}.ffn.1")}
+            lp["norm1"], lq["norm1"] = ln_q(f"{q0}.norm1")
+            lp["norm2"], lq["norm2"] = ln_q(f"{q0}.norm2")
+            lp["mha"], lq["mha"] = _mha_qat(sd, f"{q0}.mha")
+            lp["ffn_in"], lq["ffn_in"] = dense_q(f"{q0}.ffn.0")
+            lp["ffn_out"], lq["ffn_out"] = dense_q(f"{q0}.ffn.3")
+            bp[f"layer_{li}"], bq[f"layer_{li}"] = lp, lq
+        return bp, bq
+
+    params: dict = {"encoder": {"conv": {"kernel": conv1d_w(sd["encoder.0.conv1d.weight"])}}}
+    qparams: dict = {"encoder": {"conv": {
+        "weight_fake_quantize": _wq_ranges(sd, "encoder.0.weight_fake_quantize"),
+        "activation_fake_quantize": _aq_ranges(sd, "encoder.0.activation_fake_quantize"),
+    }}}
+
+    mp: dict = {}
+    mq: dict = {"mul": _aq_only(sd, "masker.mul"), "prelu": _aq_only(sd, "masker.prelu")}
+    mp["norm"], mq["norm"] = gn_q("masker.norm")
+    mp["conv1d"], mq["conv1d"] = conv_q("masker.conv1d", bias=False)
+    for r in range(n_repeats):
+        p = f"masker.layers.{r}"
+        dp_p: dict = {}
+        dp_q: dict = {"intra_add": _aq_only(sd, f"{p}.intra_add"), "inter_add": _aq_only(sd, f"{p}.inter_add")}
+        dp_p["intra_transformer_block"], dp_q["intra_transformer_block"] = tblock(f"{p}.intra_transformer_block")
+        dp_p["inter_transformer_block"], dp_q["inter_transformer_block"] = tblock(f"{p}.inter_transformer_block")
+        dp_p["intra_norm"], dp_q["intra_norm"] = gn_q(f"{p}.intra_norm")
+        dp_p["inter_norm"], dp_q["inter_norm"] = gn_q(f"{p}.inter_norm")
+        mp[f"dp_{r}"], mq[f"dp_{r}"] = dp_p, dp_q
+    mp["prelu"] = {"nl": {"alpha": sd["masker.prelu.nl.weight"]}}
+    # 1x1 Conv2dQ over channels-last == dense
+    w2d = sd["masker.conv2d.conv2d.weight"]  # [O, I, 1, 1]
+    mp["conv2d"] = {"kernel": linear_w(w2d.reshape(w2d.shape[0], w2d.shape[1])),
+                    "bias": sd["masker.conv2d.conv2d.bias"]}
+    mq["conv2d"] = {
+        "weight_fake_quantize": {
+            "min_range": sd["masker.conv2d.weight_fake_quantize.min_range"].reshape(1, -1),
+            "max_range": sd["masker.conv2d.weight_fake_quantize.max_range"].reshape(1, -1),
+        },
+        "activation_fake_quantize": _aq_ranges(sd, "masker.conv2d.activation_fake_quantize"),
+    }
+    mp["net_out"], mq["net_out"] = conv_q("masker.net_out.0")
+    mp["net_gate"], mq["net_gate"] = conv_q("masker.net_gate.0")
+    mp["end_conv"], mq["end_conv"] = conv_q("masker.end_conv.0", bias=False)
+    params["masker"] = mp
+    qparams["masker"] = mq
+
+    qparams["mul"] = _aq_only(sd, "mul")
+
+    dec_p: dict = {"kernel": convt1d_w(sd["decoder.convTr1d.weight"])}
+    dec_q: dict = {
+        "weight_fake_quantize": {
+            "min_range": np.moveaxis(sd["decoder.weight_fake_quantize.min_range"], 1, -1),
+            "max_range": np.moveaxis(sd["decoder.weight_fake_quantize.max_range"], 1, -1),
+        },
+        "activation_fake_quantize": _aq_ranges(sd, "decoder.activation_fake_quantize"),
+    }
+    if n_combiner >= 2:
+        reb = "decoder.residual_error_block"
+        dec_p["residual_error_block"] = {
+            "residual_encoder": {"kernel": conv1d_w(sd[f"{reb}.residual_encoder.weight"])},
+            # trainable residual decoder (train_res_dec=True)
+            "residual_decoder_kernel": convt1d_w(sd[f"{reb}.residual_decoder.weight"]),
+        }
+        if f"{reb}.residual_encoder.bias" in sd:
+            dec_p["residual_error_block"]["residual_encoder"]["bias"] = sd[f"{reb}.residual_encoder.bias"]
+        dec_q["residual_error_block"] = {
+            "residual_encoder": {"weight_fake_quantize": _wq_ranges(sd, f"{reb}.weight_fake_quantize")},
+            "weight_fake_quantize_dec": {
+                "min_range": np.moveaxis(sd[f"{reb}.weight_fake_quantize_dec.min_range"], 1, -1),
+                "max_range": np.moveaxis(sd[f"{reb}.weight_fake_quantize_dec.max_range"], 1, -1),
+            },
+            "activation_fake_quantize": _aq_ranges(sd, f"{reb}.activation_fake_quantize"),
+        }
+        dec_q["activation_fake_quantize_residual"] = _aq_ranges(sd, "decoder.activation_fake_quantize_residual")
+    params["decoder"] = dec_p
+    qparams["decoder"] = dec_q
+    return params, qparams
+
+
+def convtasnet_music_qat_from_torch(sd: Mapping[str, np.ndarray], n_repeats: int = 4, n_blocks: int = 10,
+                                    n_combiner: int = 2) -> tuple[dict, dict]:
+    """Map a reference QAT ConvTasNetMusicQ state_dict (post quantize_model
+    surgery, convtasnetq_music.py:290-333) onto (params, qparams) for
+    fqss_tpu.models.convtasnet_music.ConvTasNetMusic. Load with
+    observer=False. The music combiner shares the decoder weight
+    (train_res_dec=False, convtasnetq_music.py:320)."""
+
+    def conv_q(p: str, nl: bool = False) -> tuple[dict, dict]:
+        prm = {"kernel": conv1d_w(sd[f"{p}.conv1d.weight"])}
+        if f"{p}.conv1d.bias" in sd:
+            prm["bias"] = sd[f"{p}.conv1d.bias"]
+        if nl:
+            prm["nl"] = {"alpha": sd[f"{p}.nl.weight"]}
+        qp = {"weight_fake_quantize": _wq_ranges(sd, f"{p}.weight_fake_quantize"),
+              "activation_fake_quantize": _aq_ranges(sd, f"{p}.activation_fake_quantize")}
+        return prm, qp
+
+    def gn_q(p: str) -> tuple[dict, dict]:
+        prm = {"norm": {"scale": sd[f"{p}.groupnorm.weight"], "bias": sd[f"{p}.groupnorm.bias"]}}
+        return prm, _aq_only(sd, p)
+
+    params: dict = {"encoder": {"conv": {"kernel": conv1d_w(sd["encoder.0.conv1d.weight"])}}}
+    qparams: dict = {"encoder": {"conv": {
+        "weight_fake_quantize": _wq_ranges(sd, "encoder.0.weight_fake_quantize"),
+        "activation_fake_quantize": _aq_ranges(sd, "encoder.0.activation_fake_quantize"),
+    }}}
+
+    sep_p: dict = {"layer_norm": {"norm": {"scale": sd["separator.network.0.norm.layernorm.weight"],
+                                           "bias": sd["separator.network.0.norm.layernorm.bias"]}}}
+    sep_q: dict = {"layer_norm": _aq_only(sd, "separator.network.0.norm")}
+    sep_p["bottleneck"], sep_q["bottleneck"] = conv_q("separator.network.1")
+    for r in range(n_repeats):
+        for x in range(n_blocks):
+            p = f"separator.network.2.{r}.{x}"
+            blk_p: dict = {}
+            blk_q: dict = {"add": _aq_only(sd, f"{p}.add")}
+            blk_p["conv1x1"], blk_q["conv1x1"] = conv_q(f"{p}.net.0", nl=True)
+            blk_p["norm"], blk_q["norm"] = gn_q(f"{p}.net.2")
+            ds_p: dict = {}
+            ds_q: dict = {}
+            ds_p["depthwise"], ds_q["depthwise"] = conv_q(f"{p}.net.3.net.0", nl=True)
+            ds_p["norm"], ds_q["norm"] = gn_q(f"{p}.net.3.net.2")
+            ds_p["pointwise"], ds_q["pointwise"] = conv_q(f"{p}.net.3.net.3")
+            blk_p["dsconv"], blk_q["dsconv"] = ds_p, ds_q
+            sep_p[f"tcn_{r}_{x}"], sep_q[f"tcn_{r}_{x}"] = blk_p, blk_q
+    sep_p["mask_conv"], sep_q["mask_conv"] = conv_q("separator.network.3")
+    params["separator"] = sep_p
+    qparams["separator"] = sep_q
+
+    qparams["mul"] = _aq_only(sd, "mul")
+
+    dec_p: dict = {"kernel": linear_w(sd["decoder.linear.weight"])}
+    dec_q: dict = {
+        "weight_fake_quantize": _wq_ranges(sd, "decoder.weight_fake_quantize"),
+        "activation_fake_quantize": _aq_ranges(sd, "decoder.activation_fake_quantize"),
+    }
+    if n_combiner >= 2:
+        reb = "decoder.residual_error_block"
+        dec_p["residual_error_block"] = {
+            "residual_encoder_kernel": linear_w(sd[f"{reb}.residual_encoder.weight"]),
+        }
+        if f"{reb}.residual_encoder.bias" in sd:
+            dec_p["residual_error_block"]["residual_encoder_bias"] = sd[f"{reb}.residual_encoder.bias"]
+        dec_q["residual_error_block"] = {
+            "weight_fake_quantize": _wq_ranges(sd, f"{reb}.weight_fake_quantize"),
+            "activation_fake_quantize": _aq_ranges(sd, f"{reb}.activation_fake_quantize"),
+        }
+        dec_q["activation_fake_quantize_residual"] = _aq_ranges(sd, "decoder.activation_fake_quantize_residual")
+    params["decoder"] = dec_p
+    qparams["decoder"] = dec_q
+    return params, qparams
+
+
+def htdemucs_qat_from_torch(
+    sd: Mapping[str, np.ndarray], depth: int = 4, t_layers: int = 5,
+    dconv_depth: int = 2, n_combiner: int = 2,
+) -> tuple[dict, dict]:
+    """Map a reference QAT HTDemucsQ state_dict (post quantize_model surgery,
+    htdemucsq.py:1157-1242) onto (params, qparams) for
+    fqss_tpu.models.htdemucs.HTDemucs (default topology: bottom_channels=0,
+    norm_starts >= depth so encoder/decoder norms are identity). Load with
+    observer=False. The final frequency decoder trains its residual decoder
+    (train_res_dec for 'decoder.3', htdemucsq.py:1194)."""
+
+    def conv_q(p: str, freq: bool) -> tuple[dict, dict]:
+        """Conv{1,2}d[Nl]Q / Conv{1,2}dEncoderQ: inner conv{1,2}d."""
+        inner = "conv2d" if freq else "conv1d"
+        w = conv2d_w(sd[f"{p}.{inner}.weight"]) if freq else conv1d_w(sd[f"{p}.{inner}.weight"])
+        prm = {"kernel": w}
+        if f"{p}.{inner}.bias" in sd:
+            prm["bias"] = sd[f"{p}.{inner}.bias"]
+        qp = {"weight_fake_quantize": _wq_ranges(sd, f"{p}.weight_fake_quantize"),
+              "activation_fake_quantize": _aq_ranges(sd, f"{p}.activation_fake_quantize")}
+        return prm, qp
+
+    def dconv_gn_conv(p: str) -> tuple[dict, dict]:
+        """Conv1dGnNlQ (fused conv+GroupNorm+NL, qat_layers.py:222-258)."""
+        prm = {"kernel": conv1d_w(sd[f"{p}.conv1d.weight"]), "bias": sd[f"{p}.conv1d.bias"],
+               "norm": {"scale": sd[f"{p}.gn.weight"], "bias": sd[f"{p}.gn.bias"]}}
+        qp = {"weight_fake_quantize": _wq_ranges(sd, f"{p}.weight_fake_quantize"),
+              "activation_fake_quantize": _aq_ranges(sd, f"{p}.activation_fake_quantize")}
+        return prm, qp
+
+    def dconv(p: str) -> tuple[dict, dict]:
+        dp: dict = {}
+        dq: dict = {}
+        for d in range(dconv_depth):
+            dp[f"layer_{d}_conv"], dq[f"layer_{d}_conv"] = dconv_gn_conv(f"{p}.layers.{d}.0")
+            dp[f"layer_{d}_mix"], dq[f"layer_{d}_mix"] = dconv_gn_conv(f"{p}.layers.{d}.3")
+            dp[f"layer_{d}_scale"] = {"scale": sd[f"{p}.layers.{d}.6.scale"]}
+            dq[f"layer_{d}_scale"] = {"mul": _aq_only(sd, f"{p}.layers.{d}.6.mul")}
+            dq[f"add_{d}"] = _aq_only(sd, f"{p}.adds.{d}")
+        return dp, dq
+
+    def henc(p: str, freq: bool) -> tuple[dict, dict]:
+        ep: dict = {}
+        eq: dict = {}
+        ep["conv"], eq["conv"] = conv_q(f"{p}.conv", freq)
+        ep["rewrite"], eq["rewrite"] = conv_q(f"{p}.rewrite", freq)
+        ep["dconv"], eq["dconv"] = dconv(f"{p}.dconv")
+        return ep, eq
+
+    def convtr_q(p: str, freq: bool) -> tuple[dict, dict]:
+        """ConvTranspose{1,2}d[Nl]Q (non-last decoders): inner convTr{1,2}d."""
+        inner = "convTr2d" if freq else "convTr1d"
+        w = convt2d_w(sd[f"{p}.{inner}.weight"]) if freq else convt1d_w(sd[f"{p}.{inner}.weight"])
+        prm = {"kernel": w, "bias": sd[f"{p}.{inner}.bias"]}
+        qp = {"weight_fake_quantize": {
+                  "min_range": np.moveaxis(sd[f"{p}.weight_fake_quantize.min_range"], 1, -1),
+                  "max_range": np.moveaxis(sd[f"{p}.weight_fake_quantize.max_range"], 1, -1)},
+              "activation_fake_quantize": _aq_ranges(sd, f"{p}.activation_fake_quantize")}
+        return prm, qp
+
+    def dec_last(p: str, freq: bool, train_res_dec: bool) -> tuple[dict, dict]:
+        """ConvTr{1,2}dDecoderQ (combiner I/O decoder, replace_decoderq)."""
+        inner = "convTr2d" if freq else "convTr1d"
+        w = convt2d_w(sd[f"{p}.{inner}.weight"]) if freq else convt1d_w(sd[f"{p}.{inner}.weight"])
+        prm: dict = {"kernel": w, "bias": sd[f"{p}.{inner}.bias"]}
+        qp: dict = {
+            "weight_fake_quantize": {
+                "min_range": np.moveaxis(sd[f"{p}.weight_fake_quantize.min_range"], 1, -1),
+                "max_range": np.moveaxis(sd[f"{p}.weight_fake_quantize.max_range"], 1, -1)},
+            "activation_fake_quantize": _aq_ranges(sd, f"{p}.activation_fake_quantize"),
+        }
+        if n_combiner >= 2:
+            reb = f"{p}.residual_error_block"
+            enc_w = conv2d_w(sd[f"{reb}.residual_encoder.weight"]) if freq else conv1d_w(sd[f"{reb}.residual_encoder.weight"])
+            prm["residual_error_block"] = {"residual_encoder": {"kernel": enc_w}}
+            if f"{reb}.residual_encoder.bias" in sd:
+                prm["residual_error_block"]["residual_encoder"]["bias"] = sd[f"{reb}.residual_encoder.bias"]
+            qp["residual_error_block"] = {
+                "residual_encoder": {"weight_fake_quantize": _wq_ranges(sd, f"{reb}.weight_fake_quantize")},
+                "activation_fake_quantize": _aq_ranges(sd, f"{reb}.activation_fake_quantize"),
+            }
+            if train_res_dec:
+                dec_w = (convt2d_w(sd[f"{reb}.residual_decoder.weight"]) if freq
+                         else convt1d_w(sd[f"{reb}.residual_decoder.weight"]))
+                prm["residual_error_block"]["residual_decoder_kernel"] = dec_w
+                if f"{reb}.residual_decoder.bias" in sd:
+                    prm["residual_error_block"]["residual_decoder_bias"] = sd[f"{reb}.residual_decoder.bias"]
+                qp["residual_error_block"]["weight_fake_quantize_dec"] = {
+                    "min_range": np.moveaxis(sd[f"{reb}.weight_fake_quantize_dec.min_range"], 1, -1),
+                    "max_range": np.moveaxis(sd[f"{reb}.weight_fake_quantize_dec.max_range"], 1, -1)}
+            qp["activation_fake_quantize_residual"] = _aq_ranges(sd, f"{p}.activation_fake_quantize_residual")
+        return prm, qp
+
+    def hdec(p: str, freq: bool, last: bool, train_res_dec: bool = False) -> tuple[dict, dict]:
+        dp: dict = {}
+        dq: dict = {"add": _aq_only(sd, f"{p}.add")}
+        dp["rewrite"], dq["rewrite"] = conv_q(f"{p}.rewrite", freq)
+        if last:
+            dp["conv_tr"], dq["conv_tr"] = dec_last(f"{p}.conv_tr", freq, train_res_dec)
+        else:
+            dp["conv_tr"], dq["conv_tr"] = convtr_q(f"{p}.conv_tr", freq)
+        return dp, dq
+
+    def ln_q(p: str) -> tuple[dict, dict]:
+        prm = {"norm": {"scale": sd[f"{p}.layernorm.weight"], "bias": sd[f"{p}.layernorm.bias"]}}
+        return prm, _aq_only(sd, p)
+
+    def dense_q(p: str) -> tuple[dict, dict]:
+        prm = {"kernel": linear_w(sd[f"{p}.linear.weight"]), "bias": sd[f"{p}.linear.bias"]}
+        qp = {"weight_fake_quantize": _wq_ranges(sd, f"{p}.weight_fake_quantize"),
+              "activation_fake_quantize": _aq_ranges(sd, f"{p}.activation_fake_quantize")}
+        return prm, qp
+
+    def tlayer(p: str, cross: bool) -> tuple[dict, dict]:
+        lp: dict = {}
+        lq: dict = {"add_norm1": _aq_only(sd, f"{p}.add_norm1"),
+                    "add_norm2": _aq_only(sd, f"{p}.add_norm2"),
+                    "norm_out": {"const": _aq_only(sd, f"{p}.norm_out.const")},
+                    "gamma_1": {"mul": _aq_only(sd, f"{p}.gamma_1.mul")},
+                    "gamma_2": {"mul": _aq_only(sd, f"{p}.gamma_2.mul")}}
+        attn = "cross_attn" if cross else "self_attn"
+        lp[attn], lq[attn] = _mha_qat(sd, f"{p}.{attn}")
+        lp["norm1"], lq["norm1"] = ln_q(f"{p}.norm1")
+        lp["norm2"], lq["norm2"] = ln_q(f"{p}.norm2")
+        if cross:
+            lp["norm3"], lq["norm3"] = ln_q(f"{p}.norm3")
+        lp["linear1"], lq["linear1"] = dense_q(f"{p}.linear1")
+        lp["linear2"], lq["linear2"] = dense_q(f"{p}.linear2")
+        lp["norm_out"] = {"norm": {"scale": sd[f"{p}.norm_out.weight"], "bias": sd[f"{p}.norm_out.bias"]}}
+        lp["gamma_1"] = {"scale": sd[f"{p}.gamma_1.scale"]}
+        lp["gamma_2"] = {"scale": sd[f"{p}.gamma_2.scale"]}
+        return lp, lq
+
+    params: dict = {}
+    qparams: dict = {}
+
+    # ScaledEmbedding -> EmbeddingQ + MulQ (htdemucsq.py:1204-1205). The
+    # embedding weight quantizer is per-row (ch axis 0) on both sides.
+    params["freq_emb"] = {"embedding": sd["freq_emb.embedding.embedding.weight"]}
+    qparams["freq_emb"] = {
+        "weight_fake_quantize": _wq_ranges(sd, "freq_emb.embedding.weight_fake_quantize", to_last_axis=False),
+        "activation_fake_quantize": _aq_ranges(sd, "freq_emb.embedding.activation_fake_quantize"),
+        "mul": _aq_only(sd, "freq_emb.mul"),
+    }
+    qparams["mul_freq"] = _aq_only(sd, "mul_freq")
+    qparams["add_freq"] = _aq_only(sd, "add_freq")
+
+    # bottom_channels samplers -> Conv1dQ (htdemucsq.py:1198-1201)
+    for name in ("channel_upsampler", "channel_upsampler_t", "channel_downsampler", "channel_downsampler_t"):
+        if f"{name}.conv1d.weight" in sd:
+            params[name], qparams[name] = conv_q(name, freq=False)
+
+    for i in range(depth):
+        last = i == depth - 1
+        params[f"encoder_{i}"], qparams[f"encoder_{i}"] = henc(f"encoder.{i}", freq=True)
+        params[f"tencoder_{i}"], qparams[f"tencoder_{i}"] = henc(f"tencoder.{i}", freq=False)
+        params[f"decoder_{i}"], qparams[f"decoder_{i}"] = hdec(
+            f"decoder.{i}", freq=True, last=last, train_res_dec=last)
+        params[f"tdecoder_{i}"], qparams[f"tdecoder_{i}"] = hdec(
+            f"tdecoder.{i}", freq=False, last=last, train_res_dec=False)
+
+    ct_p: dict = {}
+    ct_q: dict = {"add_x": _aq_only(sd, "crosstransformer.add_x"),
+                  "add_xt": _aq_only(sd, "crosstransformer.add_xt"),
+                  "const_pos_emb": _aq_only(sd, "crosstransformer.const_pos_emb"),
+                  "const_pos_emb_2d": _aq_only(sd, "crosstransformer.const_pos_emb_2d")}
+    ct_p["norm_in"], ct_q["norm_in"] = ln_q("crosstransformer.norm_in")
+    ct_p["norm_in_t"], ct_q["norm_in_t"] = ln_q("crosstransformer.norm_in_t")
+    for i in range(t_layers):
+        cross = i % 2 == 1
+        ct_p[f"layer_{i}"], ct_q[f"layer_{i}"] = tlayer(f"crosstransformer.layers.{i}", cross)
+        ct_p[f"layer_t_{i}"], ct_q[f"layer_t_{i}"] = tlayer(f"crosstransformer.layers_t.{i}", cross)
+    params["crosstransformer"] = ct_p
+    qparams["crosstransformer"] = ct_q
     return params, qparams

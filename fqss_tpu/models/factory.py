@@ -85,7 +85,9 @@ def create_model(model_cfg: Mapping[str, Any], q: QuantSpec | None = None):
     if name == "HTDemucs":
         from fqss_tpu.models.htdemucs import HTDemucs
 
-        extra = {k: model_cfg[k] for k in ("audio_channels", "channels", "nfft", "depth", "t_layers", "t_heads", "segment", "samplerate") if k in model_cfg}
+        extra = {k: model_cfg[k] for k in ("audio_channels", "channels", "nfft", "depth", "t_layers",
+                                           "t_heads", "t_hidden_scale", "bottom_channels", "segment",
+                                           "samplerate") if k in model_cfg}
         return HTDemucs(
             sources=tuple(model_cfg.get("sources", ["drums", "bass", "other", "vocals"])),
             q=q,
@@ -151,6 +153,12 @@ def _torch_to_params(model, sd: dict) -> dict:
         return convert.sepformer_params_from_torch(sd, n_repeats=model.n_repeats, n_layers=model.n_layers)
     if isinstance(model, ConvTasNetMusic):
         return convert.convtasnet_music_params_from_torch(sd, n_repeats=model.n_repeats, n_blocks=model.n_blocks)
+    from fqss_tpu.models.htdemucs import HTDemucs
+
+    if isinstance(model, HTDemucs):
+        return convert.htdemucs_params_from_torch(
+            sd, depth=model.depth, t_layers=model.t_layers, dconv_depth=model.dconv_depth
+        )
     raise NotImplementedError(f"torch import not yet wired for {type(model).__name__}")
 
 
@@ -193,7 +201,8 @@ def merge_float_params(q_init_params: dict, float_params: dict, n_splitter: int 
             fv = jnp.asarray(fnode)
             if qv.shape == fv.shape:
                 return fv
-            if qv.ndim == 3 and fv.ndim == 3 and qv.shape[1] == n_splitter * fv.shape[1]:
+            # splitter-widened conv1d (k, Ci, Co) or conv2d (kh, kw, Ci, Co)
+            if qv.ndim == fv.ndim and qv.ndim in (3, 4) and qv.shape[-2] == n_splitter * fv.shape[-2]:
                 return expand_encoder_kernel(fv, n_splitter, jax.random.PRNGKey(1))
             raise ValueError(
                 f"Error: mismatch model weights ({fv.shape} vs {qv.shape}). "

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fqss_tpu.models.demucs_blocks import HDecLayer, HEncLayer, ScaledEmbedding, pad1d_reflect
-from fqss_tpu.nn import QAdd, QConst, QDense, QLayerNorm, QMul, QNl
+from fqss_tpu.nn import QAdd, QConst, QConv1d, QDense, QLayerNorm, QMul, QNl
 from fqss_tpu.nn.attention import QMultiheadAttention
 from fqss_tpu.nn.layers import make_act_quantizer
 from fqss_tpu.ops.stft import ispectro, spectro
@@ -239,6 +239,10 @@ class HTDemucs(nn.Module):
     t_layers: int = 5
     t_heads: int = 8
     t_hidden_scale: float = 4.0
+    # 1x1 quantized channel up/downsamplers around the transformer
+    # (htdemucsq.py:880-892,1104-1118; quantized at 1198-1201). The reference
+    # surgery requires them (its quantize_model assumes bottom_channels > 0).
+    bottom_channels: int = 0
     cac: bool = True
     samplerate: int = 44100
     segment: float = 10
@@ -352,10 +356,21 @@ class HTDemucs(nn.Module):
 
         # ---- cross transformer
         if self.t_layers > 0:
+            if self.bottom_channels:
+                bb, fr_b, t_b, c_b = x.shape
+                x2 = QConv1d(self.bottom_channels, 1, q=self.q, name="channel_upsampler")(
+                    x.reshape(bb, fr_b * t_b, c_b))
+                x = x2.reshape(bb, fr_b, t_b, self.bottom_channels)
+                xt = QConv1d(self.bottom_channels, 1, q=self.q, name="channel_upsampler_t")(xt)
             x, xt = CrossTransformerEncoder(
                 dim=x.shape[-1], num_heads=self.t_heads, num_layers=self.t_layers,
                 hidden_scale=self.t_hidden_scale, q=self.q, name="crosstransformer",
             )(x, xt)
+            if self.bottom_channels:
+                x2 = QConv1d(c_b, 1, q=self.q, name="channel_downsampler")(
+                    x.reshape(bb, fr_b * t_b, self.bottom_channels))
+                x = x2.reshape(bb, fr_b, t_b, c_b)
+                xt = QConv1d(c_b, 1, q=self.q, name="channel_downsampler_t")(xt)
 
         # ---- decoders
         chin = self.audio_channels * self.n_srcs

@@ -44,24 +44,26 @@ Array = jax.Array
 
 
 def expand_encoder_kernel(kernel: Array, n_splitter: int, rng: jax.Array) -> Array:
-    """Widen a float encoder kernel (k, Cin, Cout) to n_splitter * Cin inputs.
+    """Widen a float encoder kernel to n_splitter * Cin input channels.
 
-    New channel groups are initialized Gaussian with the original channel's
-    mean and std**n (reference qat_layers.py:1009-1026).
+    Works on the input-channel axis (-2) of (k, Cin, Cout) conv1d or
+    (kh, kw, Cin, Cout) conv2d kernels. New channel groups are initialized
+    Gaussian with the original channel's mean and std**n
+    (reference qat_layers.py:1009-1026).
     """
     if n_splitter < 2:
         return kernel
-    k, cin, cout = kernel.shape
+    cin = kernel.shape[-2]
     new = [kernel]
     for n_ch in range(1, n_splitter):
         block = []
         for c in range(cin):
             rng, sub = jax.random.split(rng)
-            w = kernel[:, c, :]
+            w = kernel[..., c, :]
             g = jnp.mean(w) + jax.random.normal(sub, w.shape, w.dtype) * (jnp.std(w) ** n_ch)
-            block.append(g[:, None, :])
-        new.append(jnp.concatenate(block, axis=1))
-    return jnp.concatenate(new, axis=1)
+            block.append(g[..., None, :])
+        new.append(jnp.concatenate(block, axis=-2))
+    return jnp.concatenate(new, axis=-2)
 
 
 class QConv1dEncoder(nn.Module):
@@ -360,17 +362,22 @@ class _ResidualErrorBlock2d(nn.Module):
         if res_q is not None:
             Y1 = res_q(Y1)
         kh, kw = self.kernel_size
+        b_dec = None
         if self.q.train_res_dec:
             wshape = (kh, kw, self.latent_features, self.out_features)
             bound = 1.0 / math.sqrt(self.out_features * kh * kw)
             w_dec = self.param("residual_decoder_kernel", torch_uniform_init(bound), wshape)
+            # the reference's 2d residual decoder applies its own bias
+            # (qat_layers.py:1211-1217 conv_transpose2d bias=residual_decoder.bias)
+            if self.use_bias:
+                b_dec = self.param("residual_decoder_bias", torch_uniform_init(bound), (self.out_features,))
             wq = make_weight_quantizer(self.q, wshape, ch_axis=3, name="weight_fake_quantize_dec")
             if wq is not None:
                 w_dec = wq(w_dec)
         else:
             w_dec = w_decoder
         pads = [(kh - 1, kh - 1), (kw - 1, kw - 1)]
-        return lax.conv_general_dilated(
+        out = lax.conv_general_dilated(
             Y1,
             jnp.flip(w_dec, axis=(0, 1)),
             window_strides=(1, 1),
@@ -378,6 +385,9 @@ class _ResidualErrorBlock2d(nn.Module):
             lhs_dilation=self.stride,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+        if b_dec is not None:
+            out = out + b_dec
+        return out
 
 
 class QConvTr2dDecoder(nn.Module):

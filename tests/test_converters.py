@@ -115,3 +115,41 @@ def test_convtasnet_music_converter_parity():
         yt = tm(torch.tensor(x)).numpy()
     assert y.shape == yt.shape
     np.testing.assert_allclose(np.asarray(y), yt, rtol=1e-3, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_htdemucs_float_pth_import_via_factory(tmp_path):
+    """HTDemucs float .pth checkpoints dispatch through the factory
+    (load_model.py:76-102 create_pretrained_model semantics), including the
+    bottom_channels sampler topology."""
+    import torch
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_htdemucs_parity import _install_stubs
+
+    _install_stubs()
+    from quantization.qat.models.htdemucsq import HTDemucsQ
+
+    torch.manual_seed(1)
+    tm = HTDemucsQ(channels=8, nfft=2048, t_layers=3, t_heads=4, bottom_channels=16,
+                   segment=0.5, samplerate=8000, sources=["drums", "bass", "other", "vocals"])
+    tm.eval()
+    p = str(tmp_path / "htdemucs_float.pth")
+    torch.save({"state": tm.state_dict()}, p)
+
+    from fqss_tpu.models.factory import create_pretrained_model
+
+    model_cfg = {
+        "name": "HTDemucs", "model_path": p,
+        "sources": ["drums", "bass", "other", "vocals"], "audio_channels": 2,
+        "channels": 8, "nfft": 2048, "t_layers": 3, "t_heads": 4, "bottom_channels": 16,
+        "segment": 0.5, "samplerate": 8000,
+        "quantization": {"qat": False},
+    }
+    x = np.random.default_rng(2).uniform(-1, 1, (1, 2, 4000)).astype(np.float32)
+    model, variables = create_pretrained_model(model_cfg, jnp.asarray(x))
+    y = np.asarray(model.apply(variables, jnp.asarray(x), train=True))
+    with torch.no_grad():
+        yt = tm(torch.tensor(x)).numpy()
+    assert y.shape == yt.shape
+    np.testing.assert_allclose(y, yt, rtol=5e-3, atol=2e-3)

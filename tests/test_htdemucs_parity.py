@@ -119,3 +119,66 @@ def test_htdemucs_float_parity_with_reference():
     assert y.shape == yt.shape
     # iSTFT + 30-layer depth accumulate fp differences; require close match
     np.testing.assert_allclose(np.asarray(y), yt, rtol=5e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_htdemucs_qat_parity_with_reference():
+    """HTDemucs QAT-state import (htdemucsq.py:1157-1242 surgery +
+    load_pretrain): the post-surgery reference state (weights + learned
+    quantizer ranges, splitter-widened encoders, combiner decoders with a
+    trainable residual decoder on decoder.3) loads into this framework and
+    the quantized forwards agree."""
+    import torch
+
+    _install_stubs()
+    from quantization.qat.models.htdemucsq import HTDemucsQ
+    from quantization.qat.models.load_model import enable_observer, quantize_model
+
+    torch.manual_seed(0)
+    kw = dict(channels=8, nfft=2048, t_layers=3, t_heads=4, segment=0.5,
+              bottom_channels=16, samplerate=8000,
+              sources=["drums", "bass", "other", "vocals"])
+    tm = HTDemucsQ(**kw)
+    quant_cfg = {
+        "qat": True, "gradient_based": True,
+        "weight_quant": True, "weight_n_bits": 8,
+        "act_quant": True, "act_n_bits": 8,
+        "in_quant": False, "out_quant": True, "out_act_n_bits": 8,
+        "n_splitter": 2, "n_combiner": 2, "observer": True,
+    }
+    tm = quantize_model(tm, quant_cfg)
+    tm.eval()
+    rng = np.random.default_rng(7)
+    with torch.no_grad():
+        for _ in range(2):
+            tm(torch.tensor(rng.uniform(-0.5, 0.5, (1, 2, 4000)).astype(np.float32)))
+    enable_observer(tm, False)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    from fqss_tpu.models.convert import htdemucs_qat_from_torch
+    from fqss_tpu.models.htdemucs import HTDemucs
+    from fqss_tpu.quant import QuantSpec
+
+    params, qparams = htdemucs_qat_from_torch(sd, depth=4, t_layers=3)
+    q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
+    m = HTDemucs(channels=8, nfft=2048, t_layers=3, t_heads=4, bottom_channels=16,
+                 segment=0.5, samplerate=8000, q=q)
+
+    x = rng.uniform(-0.5, 0.5, (1, 2, 4000)).astype(np.float32)
+    init_vars = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+    for col, got in (("params", params), ("qparams", qparams)):
+        ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, init_vars[col])
+        got_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, got)
+        assert ref_shapes == got_shapes, col
+
+    variables = {"params": params, "qparams": qparams, "qstats": init_vars["qstats"]}
+    y = np.asarray(m.apply(variables, jnp.asarray(x), train=True))
+    with torch.no_grad():
+        yt = tm(torch.tensor(x)).numpy()
+    assert y.shape == yt.shape
+    num = float(np.sum(yt**2))
+    den = float(np.sum((y - yt) ** 2)) + 1e-12
+    agreement_db = 10 * np.log10(num / den)
+    assert agreement_db > 20.0, agreement_db
+    c = np.corrcoef(y.ravel(), yt.ravel())[0, 1]
+    assert c > 0.99, c

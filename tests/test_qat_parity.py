@@ -181,3 +181,125 @@ def test_quantized_forward_parity_dptnet():
     assert agreement_db > 20.0, agreement_db
     c = np.corrcoef(y.ravel(), yt.ravel())[0, 1]
     assert c > 0.99, c
+
+
+def _tree_shapes_match(init_vars, params, qparams):
+    import jax.tree_util as jtu
+
+    for col, got in (("params", params), ("qparams", qparams)):
+        ref_shapes = jtu.tree_map(lambda a: a.shape, init_vars[col])
+        got_shapes = jtu.tree_map(lambda a: np.asarray(a).shape, got)
+        assert ref_shapes == got_shapes, col
+
+
+def _agreement_db(y, yt):
+    num = float(np.sum(yt**2))
+    den = float(np.sum((y - yt) ** 2)) + 1e-12
+    return 10 * np.log10(num / den)
+
+
+@pytest.mark.slow
+def test_quantized_forward_parity_sepformer():
+    """Sepformer QAT-state import (sepformerq.py:441-527): the post-surgery
+    reference state (weights + learned ranges, incl. the TRAINABLE residual
+    decoder of the combiner) loads into this framework and the quantized
+    forwards agree."""
+    import torch
+
+    _load_reference()
+    from quantization.qat.models.load_model import enable_observer, quantize_model
+    from quantization.qat.models.sepformerq import SepformerQ
+
+    torch.manual_seed(0)
+    tm = SepformerQ(n_spks=2, kernel_size=16, stride=8, n_filters=32, n_repeats=1, n_heads=4, chunk_size=20)
+    # shrink the per-layer stack for test speed
+    quant_cfg = {
+        "qat": True, "gradient_based": True,
+        "weight_quant": True, "weight_n_bits": 8,
+        "act_quant": True, "act_n_bits": 8,
+        "in_quant": False, "out_quant": True, "out_act_n_bits": 8,
+        "n_splitter": 2, "n_combiner": 2, "observer": True,
+    }
+    tm = quantize_model(tm, quant_cfg)
+    tm.eval()
+    rng = np.random.default_rng(5)
+    with torch.no_grad():
+        for _ in range(3):
+            tm(torch.tensor(rng.uniform(-1, 1, (1, 800)).astype(np.float32)))
+    enable_observer(tm, False)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    from fqss_tpu.models.convert import sepformer_qat_from_torch
+    from fqss_tpu.models.sepformer import Sepformer
+    from fqss_tpu.quant import QuantSpec
+
+    params, qparams = sepformer_qat_from_torch(sd, n_repeats=1, n_layers=8)
+    q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
+    m = Sepformer(n_srcs=2, kernel_size=16, stride=8, n_filters=32, n_repeats=1, n_heads=4,
+                  chunk_size=20, q=q)
+
+    x = rng.uniform(-1, 1, (1, 800)).astype(np.float32)
+    init_vars = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    _tree_shapes_match(init_vars, params, qparams)
+    variables = {"params": params, "qparams": qparams, "qstats": init_vars["qstats"]}
+    y = np.asarray(m.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        yt = tm(torch.tensor(x)).numpy()
+    assert y.shape == yt.shape
+    db = _agreement_db(y, yt)
+    assert db > 20.0, db
+    c = np.corrcoef(y.ravel(), yt.ravel())[0, 1]
+    assert c > 0.99, c
+
+
+@pytest.mark.slow
+def test_quantized_forward_parity_convtasnet_music():
+    """ConvTasNetMusic QAT-state import (convtasnetq_music.py:269-333):
+    post-surgery reference state -> (params, qparams); quantized forwards
+    agree (shared-weight combiner, train_res_dec=False)."""
+    import torch
+
+    _load_reference()
+    from quantization.qat.models.convtasnetq_music import ConvTasNetMusicQ
+    from quantization.qat.models.load_model import enable_observer, quantize_model
+
+    torch.manual_seed(0)
+    tm = ConvTasNetMusicQ(n_filters=16, kernel=20, stride=10, bn_chan=8, hid_chan=16,
+                          n_blocks=2, n_repeats=1)
+    quant_cfg = {
+        "qat": True, "gradient_based": True,
+        "weight_quant": True, "weight_n_bits": 8,
+        "act_quant": True, "act_n_bits": 8,
+        "in_quant": False, "out_quant": True, "out_act_n_bits": 8,
+        "n_splitter": 2, "n_combiner": 2, "observer": True,
+    }
+    tm = quantize_model(tm, quant_cfg)
+    tm.eval()
+    rng = np.random.default_rng(6)
+    with torch.no_grad():
+        for _ in range(3):
+            tm(torch.tensor(rng.uniform(-1, 1, (1, 2, 2000)).astype(np.float32)))
+    enable_observer(tm, False)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+    from fqss_tpu.models.convert import convtasnet_music_qat_from_torch
+    from fqss_tpu.models.convtasnet_music import ConvTasNetMusic
+    from fqss_tpu.quant import QuantSpec
+
+    params, qparams = convtasnet_music_qat_from_torch(sd, n_repeats=1, n_blocks=2)
+    q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
+    m = ConvTasNetMusic(n_filters=16, kernel_size=20, stride=10, bn_chan=8, hid_chan=16,
+                        n_blocks=2, n_repeats=1, q=q)
+
+    x = rng.uniform(-1, 1, (1, 2, 2000)).astype(np.float32)
+    init_vars = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    _tree_shapes_match(init_vars, params, qparams)
+    variables = {"params": params, "qparams": qparams, "qstats": init_vars["qstats"]}
+    y = np.asarray(m.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        yt = tm(torch.tensor(x)).numpy()
+    assert y.shape == yt.shape
+    db = _agreement_db(y, yt)
+    assert db > 20.0, db
+    c = np.corrcoef(y.ravel(), yt.ravel())[0, 1]
+    assert c > 0.99, c
