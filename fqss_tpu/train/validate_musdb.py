@@ -21,7 +21,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from fqss_tpu.separation.metrics import sdr_db
 from fqss_tpu.separation.ola import ola_infer
 from fqss_tpu.separation.losses import nsdr_db
 from fqss_tpu.utils.audio import read_audio
@@ -80,34 +79,47 @@ def val_musdbhq_nsdr(model, variables, model_cfg: Mapping[str, Any], testing_cfg
     return (float(per_src.mean()), *[float(v) for v in per_src])
 
 
-def val_musdbhq(model, variables, model_cfg: Mapping[str, Any], testing_cfg: Mapping[str, Any], limit=None):
-    """museval-style SDR (val.py:134-181): 1s frames, FIR-projection SDR,
-    median over frames then median over tracks per stem."""
+def val_musdbhq(model, variables, model_cfg: Mapping[str, Any], testing_cfg: Mapping[str, Any],
+                limit=None, return_full: bool = False, filter_length: int = 512):
+    """museval-grade BSS eval v4 (val.py:134-181): framewise SDR/ISR/SIR/SAR
+    with 1 s windows, median over frames then median over tracks per stem
+    (museval eval_mus_track + agg_frames_tracks_scores).
+
+    Returns (mean_SDR, *per_source_SDR) like the reference; with
+    ``return_full`` also the {SDR,ISR,SIR,SAR} per-source table.
+    """
+    from fqss_tpu.separation.bss_eval import aggregate_frames, bss_eval_images_framewise
+
     sources = tuple(model_cfg.get("sources", ["drums", "bass", "other", "vocals"]))
     tracks = list_musdb_tracks(testing_cfg["test_dir"])
     if limit:
         tracks = tracks[:limit]
-    track_scores = np.zeros((len(sources), len(tracks)))
+    keys = ("SDR", "ISR", "SIR", "SAR")
+    track_scores = {k: np.zeros((len(sources), len(tracks))) for k in keys}
     for j, track in enumerate(tracks):
         seps, fs = _separate_track(model, variables, track, sources, testing_cfg)
-        win = fs  # museval default 1s windows
-        for i, src in enumerate(sources):
+        refs = []
+        for src in sources:
             ref_audio, _ = read_audio(os.path.join(track, f"{src}.wav"))
-            t_len = min(ref_audio.shape[-1], seps.shape[-1])
-            ref = ref_audio[..., :t_len]
-            sep = np.asarray(seps[i])[..., :t_len]
-            n_frames = t_len // win
-            vals = []
-            for f in range(max(n_frames, 1)):
-                sl = slice(f * win, min((f + 1) * win, t_len))
-                r = jnp.asarray(ref[..., sl].reshape(-1))
-                s = jnp.asarray(sep[..., sl].reshape(-1))
-                if float(jnp.sum(r**2)) < 1e-10:
-                    continue  # museval skips silent reference frames
-                vals.append(float(sdr_db(s, r, filter_length=512)))
-            track_scores[i, j] = float(np.median(vals)) if vals else np.nan
+            refs.append(ref_audio)
+        t_len = min(min(r.shape[-1] for r in refs), seps.shape[-1])
+        refs = np.stack([r[..., :t_len] for r in refs])  # [S, C, T]
+        ests = np.asarray(seps)[..., :t_len]
+        if ests.ndim == 2:
+            ests = ests[:, None, :]
+        if refs.ndim == 2:
+            refs = refs[:, None, :]
+        frames = bss_eval_images_framewise(refs, ests, window=fs, hop=fs, filter_length=filter_length)
+        agg = aggregate_frames(frames)
+        for k in keys:
+            track_scores[k][:, j] = agg[k]
         if j % 10 == 0:
             print(f"track {j + 1}/{len(tracks)}: " + ", ".join(
-                f"{s}={track_scores[i, j]:0.2f}" for i, s in enumerate(sources)))
-    per_src = np.nanmedian(track_scores, axis=1)
-    return (float(per_src.mean()), *[float(v) for v in per_src])
+                f"{s} SDR={track_scores['SDR'][i, j]:0.2f}" for i, s in enumerate(sources)))
+    per_src = {k: np.nanmedian(track_scores[k], axis=1) for k in keys}
+    sdr = per_src["SDR"]
+    result = (float(sdr.mean()), *[float(v) for v in sdr])
+    if return_full:
+        full = {k: {s: float(v) for s, v in zip(sources, per_src[k])} for k in keys}
+        return result, full
+    return result

@@ -61,8 +61,11 @@ def val():
             vals = val_musdbhq_nsdr(model, variables, model_cfg, testing_cfg, limit=args.limit)
             print("NSDR={:0.2f},NSDR_DRUMS={:0.2f},NSDR_BASS={:0.2f},NSDR_OTHER={:0.2f},NSDR_VOCALS={:0.2f}".format(*vals))
         else:
-            vals = val_musdbhq(model, variables, model_cfg, testing_cfg, limit=args.limit)
+            vals, full = val_musdbhq(model, variables, model_cfg, testing_cfg, limit=args.limit, return_full=True)
             print("SDR={:0.2f},SDR_DRUMS={:0.2f},SDR_BASS={:0.2f},SDR_OTHER={:0.2f},SDR_VOCALS={:0.2f}".format(*vals))
+            for metric in ("ISR", "SIR", "SAR"):  # full bss_eval v4 table
+                per = full[metric]
+                print(metric + "=" + ",".join(f"{s}:{v:0.2f}" for s, v in per.items()))
     else:
         raise ValueError("Dataset {} is not supported!".format(dataset_cfg["name"]))
 
