@@ -15,6 +15,7 @@ from typing import Callable
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from fqss_tpu.separation.metrics import swap_channel_order
@@ -36,12 +37,18 @@ def ola_infer(
     overlap: float = 0.25,
     target: np.ndarray | None = None,
     chunk_batch: int = 8,
+    mesh=None,
 ) -> np.ndarray:
     """Chunked separation of one track.
 
     apply_fn: jitted model forward over a [K, C, segment] (or [K, segment])
               batch of chunks -> [K, S, segment'] separations.
     mix: [C, T] numpy waveform. Returns [S, T] (or [S, C, T] for C > 1).
+
+    ``mesh``: a 1-D device mesh to shard the chunk axis over — the OLA chunk
+    axis is embarrassingly parallel (SURVEY.md §5 long-context scaling), so
+    each device block of ``chunk_batch`` chunks runs concurrently and the
+    host recombination is unchanged.
     """
     mix = np.asarray(mix, np.float32)
     channels, length = mix.shape
@@ -65,16 +72,26 @@ def ola_infer(
         chunks[i, :, : stop - off] = mix[:, off:stop]
         chunk_lens.append(stop - off)
 
+    step = chunk_batch
+    sharding = None
+    if mesh is not None:
+        from fqss_tpu.parallel.mesh import batch_sharding
+
+        step = chunk_batch * mesh.devices.size
+        sharding = batch_sharding(mesh, mesh.axis_names[0])
+
     outs = []
-    for i in range(0, len(offsets), chunk_batch):
-        block = chunks[i : i + chunk_batch]
-        pad_n = chunk_batch - block.shape[0]
+    for i in range(0, len(offsets), step):
+        block = chunks[i : i + step]
+        pad_n = step - block.shape[0]
         if pad_n:
             block = np.concatenate([block, np.zeros((pad_n, channels, segment), np.float32)])
         x = jnp.asarray(block[:, 0] if channels == 1 else block)
+        if sharding is not None:
+            x = jax.device_put(x, sharding)
         y = np.asarray(apply_fn(x))
         if pad_n:
-            y = y[: chunk_batch - pad_n]
+            y = y[: step - pad_n]
         outs.append(y[..., :segment])
     chunk_out = np.concatenate(outs, axis=0)  # [K, S, (C,) segment]
 

@@ -53,6 +53,7 @@ def val_librimix(
     testing_cfg: Mapping[str, Any],
     limit: int | None = None,
     compute_stoi: bool = True,
+    mesh=None,
 ):
     """Returns (SI-SDR, SI-SDR improvement, SDR, STOI) means (val.py:59-92)."""
     n_srcs = model_cfg.get("n_src", 1)
@@ -73,7 +74,7 @@ def val_librimix(
     for i in range(n):
         mix_wav, fs = _resampled(mix_files[i], resample)
         clean = np.stack([_resampled(files[i], resample)[0][0] for files in src_files])
-        wavs = ola_infer(apply_fn, mix_wav, n_srcs=n_srcs, segment=segment, overlap=overlap, target=clean)
+        wavs = ola_infer(apply_fn, mix_wav, n_srcs=n_srcs, segment=segment, overlap=overlap, target=clean, mesh=mesh)
         sisdrs[i], sdrs[i], stois[i] = metric_evaluation(wavs, clean, sample_rate=fs, compute_stoi=compute_stoi)
         # baseline: mixture vs clean, for the improvement number
         from fqss_tpu.separation.metrics import si_snr_db

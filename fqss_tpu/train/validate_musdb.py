@@ -1,12 +1,12 @@
 """MUSDB18-HQ evaluation loops (reference: val.py:95-181).
 
 ``val_musdbhq_nsdr`` computes the MDX-definition NSDR per stem;
-``val_musdbhq`` computes museval-style SDR: per-second framewise
-BSS-eval SDR with a distortion-filter projection (the FIR-projection SDR
-in fqss_tpu.separation.metrics with museval's 512-tap window), aggregated
-median-over-frames then median-over-tracks like museval's
+``val_musdbhq`` runs full BSS Eval v4 (fqss_tpu.separation.bss_eval):
+framewise SDR/ISR/SIR/SAR with 1 s windows and 512-tap distortion filters,
+aggregated median-over-frames then median-over-tracks like museval's
 ``agg_frames_tracks_scores``.
 
+Both accept a device ``mesh`` to shard the OLA chunk axis across chips.
 Tracks live in the musdb directory layout: <root>/test/<track>/{mixture,
 drums, bass, other, vocals}.wav (is_wav=True in the reference).
 """
@@ -36,7 +36,7 @@ def list_musdb_tracks(root: str, subset: str = "test") -> list[str]:
     return [os.path.join(d, t) for t in tracks]
 
 
-def _separate_track(model, variables, track_dir: str, sources, testing_cfg, train_flag=False):
+def _separate_track(model, variables, track_dir: str, sources, testing_cfg, train_flag=False, mesh=None):
     mix, fs = read_audio(os.path.join(track_dir, "mixture.wav"))  # [C, T]
     ref = mix.mean(axis=0)
     mix_mean, mix_std = float(ref.mean()), float(ref.std())
@@ -52,13 +52,14 @@ def _separate_track(model, variables, track_dir: str, sources, testing_cfg, trai
         apply_fn, mix_n, n_srcs=len(sources),
         segment=testing_cfg.get("segment_samples"),
         overlap=testing_cfg.get("overlap", 0.25),
+        mesh=mesh,
     )
     # valid-path nan guard (solver.py:325 torch.nan_to_num)
     seps = np.nan_to_num(seps)
     return seps * mix_std + mix_mean, fs
 
 
-def val_musdbhq_nsdr(model, variables, model_cfg: Mapping[str, Any], testing_cfg: Mapping[str, Any], limit=None):
+def val_musdbhq_nsdr(model, variables, model_cfg: Mapping[str, Any], testing_cfg: Mapping[str, Any], limit=None, mesh=None):
     """Mean NSDR + per-stem NSDRs (val.py:95-132)."""
     sources = tuple(model_cfg.get("sources", ["drums", "bass", "other", "vocals"]))
     tracks = list_musdb_tracks(testing_cfg["test_dir"])
@@ -66,7 +67,7 @@ def val_musdbhq_nsdr(model, variables, model_cfg: Mapping[str, Any], testing_cfg
         tracks = tracks[:limit]
     sdrs = np.zeros((len(sources), len(tracks)))
     for j, track in enumerate(tracks):
-        seps, _ = _separate_track(model, variables, track, sources, testing_cfg)
+        seps, _ = _separate_track(model, variables, track, sources, testing_cfg, mesh=mesh)
         for i, src in enumerate(sources):
             ref_audio, _ = read_audio(os.path.join(track, f"{src}.wav"))
             sep = seps[i][..., : ref_audio.shape[-1]]
@@ -80,7 +81,7 @@ def val_musdbhq_nsdr(model, variables, model_cfg: Mapping[str, Any], testing_cfg
 
 
 def val_musdbhq(model, variables, model_cfg: Mapping[str, Any], testing_cfg: Mapping[str, Any],
-                limit=None, return_full: bool = False, filter_length: int = 512):
+                limit=None, return_full: bool = False, filter_length: int = 512, mesh=None):
     """museval-grade BSS eval v4 (val.py:134-181): framewise SDR/ISR/SIR/SAR
     with 1 s windows, median over frames then median over tracks per stem
     (museval eval_mus_track + agg_frames_tracks_scores).
@@ -97,7 +98,7 @@ def val_musdbhq(model, variables, model_cfg: Mapping[str, Any], testing_cfg: Map
     keys = ("SDR", "ISR", "SIR", "SAR")
     track_scores = {k: np.zeros((len(sources), len(tracks))) for k in keys}
     for j, track in enumerate(tracks):
-        seps, fs = _separate_track(model, variables, track, sources, testing_cfg)
+        seps, fs = _separate_track(model, variables, track, sources, testing_cfg, mesh=mesh)
         refs = []
         for src in sources:
             ref_audio, _ = read_audio(os.path.join(track, f"{src}.wav"))

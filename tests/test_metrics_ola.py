@@ -136,3 +136,31 @@ def test_resample_halves_length():
     w = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000).astype(np.float32)[None]
     r = resample_audio(w, 16000, 8000)
     assert r.shape == (1, 8000)
+
+
+def test_ola_sharded_over_mesh_equals_host_loop():
+    """Sharding the OLA chunk axis over an 8-device mesh is bit-identical to
+    the single-device host loop, including per-chunk PIT re-alignment across
+    MULTIPLE chunk batches (process.py:105-123 swap_channel_order semantics)."""
+    import jax
+
+    from fqss_tpu.models import ConvTasNet
+    from fqss_tpu.parallel import make_mesh
+    from fqss_tpu.quant import QuantSpec
+
+    model = ConvTasNet(n_srcs=2, kernel_size=16, stride=8, n_filters=32, bn_chan=8,
+                       hid_chan=16, n_blocks=2, n_repeats=1, q=QuantSpec())
+    rng = np.random.default_rng(11)
+    # 25 chunks with chunk_batch=4 -> 7 host batches / 1 sharded batch of 32
+    mix = rng.uniform(-0.8, 0.8, (1, 12000)).astype(np.float32)
+    target = rng.uniform(-0.8, 0.8, (2, 12000)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(mix))
+    apply_fn = jax.jit(lambda x: model.apply(variables, x))
+
+    host = ola_infer(apply_fn, mix, n_srcs=2, segment=640, overlap=0.25,
+                     target=target, chunk_batch=4)
+    mesh = make_mesh(8)
+    sharded = ola_infer(apply_fn, mix, n_srcs=2, segment=640, overlap=0.25,
+                        target=target, chunk_batch=4, mesh=mesh)
+    assert host.shape == sharded.shape == (2, 12000)
+    np.testing.assert_allclose(sharded, host, atol=2e-6)
