@@ -72,8 +72,11 @@ class QLayerScale(nn.Module):
 class DConv(nn.Module):
     """Dilated residual branch (demucsq.py:110-182). [B, T, C].
 
-    Per depth-layer: conv(k=3, dil=2^d)+GN+GELU -> conv1x1 -> GN -> GLU ->
-    LayerScale, added residually. Quant plan: htdemucsq.py:1206-1212.
+    Per depth-layer: conv(k=3, dil=2^d)+GN+GELU [-> BLSTM -> LocalState] ->
+    conv1x1 -> GN -> GLU -> LayerScale, added residually. The optional
+    BLSTM/LocalState inserts are the legacy HDemucs deep-layer variants
+    (demucsq.py:160-176 mods.insert; quant plan hdemucsq.py:889-903).
+    Quant plan (plain): htdemucsq.py:1206-1212.
     """
 
     channels: int
@@ -82,6 +85,10 @@ class DConv(nn.Module):
     init: float = 1e-3
     kernel: int = 3
     gelu: bool = True
+    lstm: bool = False
+    attn: bool = False
+    heads: int = 4
+    ndecay: int = 4
     q: QuantSpec = FLOAT
 
     @nn.compact
@@ -95,6 +102,12 @@ class DConv(nn.Module):
                 hidden, self.kernel, dilation=dilation, padding=padding,
                 norm_groups=1, nl=act, q=self.q, name=f"layer_{d}_conv",
             )(x)
+            if self.lstm:
+                y = BLSTM(hidden, layers=2, max_steps=200, skip=True, q=self.q,
+                          name=f"layer_{d}_lstm")(y)
+            if self.attn:
+                y = LocalState(hidden, heads=self.heads, ndecay=self.ndecay, q=self.q,
+                               name=f"layer_{d}_attn")(y)
             y = QConv1d(
                 2 * self.channels, 1, norm_groups=1, nl="glu", q=self.q, name=f"layer_{d}_mix",
             )(y)
@@ -163,6 +176,8 @@ class HEncLayer(nn.Module):
     dconv_depth: int = 2
     dconv_comp: float = 8
     dconv_init: float = 1e-3
+    dconv_lstm: bool = False  # legacy HDemucs deep layers (hdemucsq.py:509)
+    dconv_attn: bool = False
     q: QuantSpec = FLOAT
     is_input_layer: bool = False  # encoder.0/tencoder.0: splitter I/O layer
 
@@ -185,17 +200,18 @@ class HEncLayer(nn.Module):
             if le % self.stride != 0:
                 x = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, self.stride - le % self.stride), (0, 0)])
 
+        # empty layers quantize the bare conv output (hdemucsq.py:862-863
+        # quantize_modules(m, ['conv']) -> Conv1dQ with its own act quant)
         nl = None if self.empty else "gelu"
         if self.freq:
             y = QConv2d(
                 self.chout, (self.kernel_size, 1), stride=(self.stride, 1),
-                padding=(pad, 0), nl=nl, q=self.q,
-                act_quant=None if not self.empty else False, name="conv",
+                padding=(pad, 0), nl=nl, q=self.q, name="conv",
             )(x)
         else:
             y = QConv1d(
                 self.chout, self.kernel_size, stride=self.stride, padding=pad,
-                nl=nl, q=self.q, act_quant=None if not self.empty else False, name="conv",
+                nl=nl, q=self.q, name="conv",
             )(x)
         if self.empty:
             return y
@@ -211,7 +227,7 @@ class HEncLayer(nn.Module):
                 b, fr, t, c = y.shape
                 y = y.reshape(b * fr, t, c)
             y = DConv(self.chout, self.dconv_comp, self.dconv_depth, self.dconv_init,
-                      q=self.q, name="dconv")(y)
+                      lstm=self.dconv_lstm, attn=self.dconv_attn, q=self.q, name="dconv")(y)
             if self.freq:
                 y = y.reshape(b, fr, t, c)
 
@@ -249,6 +265,12 @@ class HDecLayer(nn.Module):
     pad: bool = True
     rewrite: bool = True
     train_res_dec: bool = False
+    gelu: bool = True  # MultiWrap bands defer the GELU to the band merge
+    tr_bias: bool = True  # MultiWrap bands own the conv_tr bias (seam math)
+    # context_freq=False: the rewrite conv spans context only over TIME
+    # (kernel [1, 1+2c], hdemucsq.py:303-306) — required inside MultiWrap so
+    # frequency bands stay independent (hdemucsq.py:187-188).
+    context_freq: bool = True
     q: QuantSpec = FLOAT
 
     @nn.compact
@@ -263,7 +285,9 @@ class HDecLayer(nn.Module):
             if self.rewrite:
                 k = 1 + 2 * self.context
                 if self.freq:
-                    y = QConv2d(2 * self.chin, k, padding=self.context, nl="glu",
+                    ksz = k if self.context_freq else (1, k)
+                    pd = self.context if self.context_freq else (0, self.context)
+                    y = QConv2d(2 * self.chin, ksz, padding=pd, nl="glu",
                                 norm_groups=ng, q=self.q, name="rewrite")(x)
                 else:
                     y = QConv1d(2 * self.chin, k, padding=self.context, nl="glu",
@@ -284,12 +308,13 @@ class HDecLayer(nn.Module):
                 z = QConvTr1dDecoder(self.chout, self.kernel_size, self.stride,
                                      use_bias=True, q=dec_q, name="conv_tr")(y)
         else:
+            nl = "gelu" if self.gelu else None
             if self.freq:
                 z = QConvTranspose2d(self.chout, (self.kernel_size, 1), (self.stride, 1),
-                                     nl="gelu", q=self.q, name="conv_tr")(y)
+                                     nl=nl, use_bias=self.tr_bias, q=self.q, name="conv_tr")(y)
             else:
                 z = QConvTranspose1d(self.chout, self.kernel_size, self.stride,
-                                     nl="gelu", q=self.q, name="conv_tr")(y)
+                                     nl=nl, use_bias=self.tr_bias, q=self.q, name="conv_tr")(y)
 
         if self.freq:
             if pad:

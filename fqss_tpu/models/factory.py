@@ -82,6 +82,22 @@ def create_model(model_cfg: Mapping[str, Any], q: QuantSpec | None = None):
             q=q,
             **extra,
         )
+    if name == "HDemucsLegacy":
+        # the reference's legacy hybrid model (hdemucsq.py) is dead code in
+        # its factory (load_model.py:22-49); exposed here as a first-class
+        # entry.
+        from fqss_tpu.models.hdemucs import HDemucs as HDemucsLegacy
+
+        extra = {k: model_cfg[k] for k in ("audio_channels", "channels", "nfft", "depth",
+                                           "multi_freqs", "multi_freqs_depth", "cac",
+                                           "wiener_iters", "samplerate", "segment") if k in model_cfg}
+        if "multi_freqs" in extra:
+            extra["multi_freqs"] = tuple(extra["multi_freqs"])
+        return HDemucsLegacy(
+            sources=tuple(model_cfg.get("sources", ["drums", "bass", "other", "vocals"])),
+            q=q,
+            **extra,
+        )
     if name == "HTDemucs":
         from fqss_tpu.models.htdemucs import HTDemucs
 
