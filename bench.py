@@ -5,9 +5,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Metric: seconds of audio separated per wall-clock second per chip by the
 full-size fake-quantized ConvTasNet (n_splitter=2/n_combiner=2, the FQSS
 8-bit configuration) on 12 s @ 8 kHz segments (testing_cfg segment length,
-configs/dptnet_2spks_8k.yaml:117). vs_baseline = ratio over the reference
-PyTorch model running the same workload on this host's CPU (measured once
-and cached in .bench_cache.json; BASELINE.md target: >= 20x).
+configs/dptnet_2spks_8k.yaml:117), batch 32, bf16 MXU compute (the serving
+fast path; quantizer grid math stays f32). vs_baseline = ratio over the
+reference PyTorch model running the same workload on this host's CPU
+(measured once and cached in .bench_cache.json; BASELINE.md target: >= 20x).
+
+Timing methodology (IMPORTANT): through the axon TPU tunnel,
+jax.block_until_ready does not reliably wait for device execution and
+identical repeat dispatches can be served from a cache, which inflates naive
+timing loops by orders of magnitude. Honest timing here (a) varies an input
+scalar per call so no two dispatches are identical and (b) fetches a value
+derived from each output back to the host before the clock stops.
 """
 
 from __future__ import annotations
@@ -16,6 +24,8 @@ import json
 import os
 import sys
 import time
+
+import numpy as np
 
 SEG = 96000  # 12 s @ 8 kHz
 BATCH = 32
@@ -30,17 +40,29 @@ def bench_tpu() -> float:
     from fqss_tpu.models import ConvTasNet
     from fqss_tpu.quant import QuantSpec
 
-    q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
+    q = QuantSpec(
+        qat=True,
+        observer=False,
+        n_splitter=2,
+        n_combiner=2,
+        out_quant=True,
+        compute_dtype="bfloat16",
+    )
     model = ConvTasNet(n_srcs=N_SRC, kernel_size=KERNEL, stride=STRIDE, q=q)
     x = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, SEG), minval=-1.0, maxval=1.0)
     variables = model.init(jax.random.PRNGKey(1), x)
-    fwd = jax.jit(lambda v, x: model.apply(v, x))
-    jax.block_until_ready(fwd(variables, x))  # compile
-    n_iter = 50
+    fwd = jax.jit(lambda v, x, tick: model.apply(v, x + tick * 1e-6))
+
+    def run(tick):
+        y = fwd(variables, x, jnp.float32(tick))
+        # host readback of a slice forces real completion through the tunnel
+        return np.asarray(jax.device_get(y[0, 0, :1]))
+
+    run(-1.0)  # compile + warm
+    n_iter = 10
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        y = fwd(variables, x)
-    jax.block_until_ready(y)
+    for i in range(n_iter):
+        run(float(i))
     dt = time.perf_counter() - t0
     return n_iter * BATCH * SEG / 8000.0 / dt  # sec-of-audio / sec
 

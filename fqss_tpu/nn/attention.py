@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from fqss_tpu.nn.layers import make_act_quantizer, make_weight_quantizer, torch_uniform_init
+from fqss_tpu.nn.layers import make_act_quantizer, make_weight_quantizer, mxu_operands, torch_uniform_init
 from fqss_tpu.quant.spec import FLOAT, QuantSpec
 
 Array = jax.Array
@@ -64,9 +64,13 @@ class QMultiheadAttention(nn.Module):
 
         # Full in-proj on each input, quantize, then take the relevant third
         # (faithful to qat_layers.py:907-922).
-        Xq = query @ w_in + b_in
-        Xk = key @ w_in + b_in
-        Xv = value @ w_in + b_in
+        qc, w_in_c = mxu_operands(self.q, query, w_in)
+        kc, _ = mxu_operands(self.q, key, w_in)
+        vc, _ = mxu_operands(self.q, value, w_in)
+        dot = lambda a, b: jnp.matmul(a, b, preferred_element_type=jnp.float32)
+        Xq = dot(qc, w_in_c) + b_in
+        Xk = dot(kc, w_in_c) + b_in
+        Xv = dot(vc, w_in_c) + b_in
         if q_q is not None:
             Xq, Xk, Xv = q_q(Xq), q_k(Xk), q_v(Xv)
         Q = Xq[..., :E]
@@ -81,7 +85,8 @@ class QMultiheadAttention(nn.Module):
         Qh = Qh / math.sqrt(d)
         if q_div is not None:
             Qh = q_div(Qh)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", Qh, Kh)
+        Qc, Kc = mxu_operands(self.q, Qh, Kh)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", Qc, Kc, preferred_element_type=jnp.float32)
         if q_attn is not None and self.fix_attn_quant:
             attn = q_attn(attn)
         elif q_attn is not None:
@@ -91,10 +96,12 @@ class QMultiheadAttention(nn.Module):
             attn = q_soft(attn)
         elif q_soft is not None:
             q_soft(attn)
-        heads = jnp.einsum("bhqk,bhkd->bhqd", attn, Vh)
+        Ac, Vc = mxu_operands(self.q, attn, Vh)
+        heads = jnp.einsum("bhqk,bhkd->bhqd", Ac, Vc, preferred_element_type=jnp.float32)
         if q_head is not None:
             heads = q_head(heads)
 
         y = heads.transpose(0, 2, 1, 3).reshape(B, Lq, E)
-        y = y @ w_out + b_out
+        yc, w_out_c = mxu_operands(self.q, y, w_out)
+        y = dot(yc, w_out_c) + b_out
         return q_out(y) if q_out is not None else y

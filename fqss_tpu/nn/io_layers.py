@@ -35,6 +35,7 @@ from fqss_tpu.nn.layers import (
     QConv2d,
     make_act_quantizer,
     make_weight_quantizer,
+    mxu_operands,
     sow_macs,
     torch_uniform_init,
 )
@@ -177,13 +178,15 @@ class _ResidualErrorBlock1d(nn.Module):
         else:
             w_dec = w_decoder
         pad = self.kernel_size - 1
+        Y1c, wc = mxu_operands(self.q, Y1, jnp.flip(w_dec, axis=0))
         return lax.conv_general_dilated(
-            Y1,
-            jnp.flip(w_dec, axis=0),
+            Y1c,
+            wc,
             window_strides=(1,),
             padding=[(pad, pad)],
             lhs_dilation=(self.stride,),
             dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
         )
 
 
@@ -209,13 +212,15 @@ class QConvTr1dDecoder(nn.Module):
         wq = make_weight_quantizer(self.q, wshape, ch_axis=2)
         w_decoder = wq(w) if wq is not None else w
         pad = self.kernel_size - 1
+        xc, wc = mxu_operands(self.q, x, jnp.flip(w_decoder, axis=0))
         x0 = lax.conv_general_dilated(
-            x,
-            jnp.flip(w_decoder, axis=0),
+            xc,
+            wc,
             window_strides=(1,),
             padding=[(pad, pad)],
             lhs_dilation=(self.stride,),
             dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             b = self.param("bias", torch_uniform_init(bound), (self.features,))
@@ -267,7 +272,8 @@ class _ResidualErrorBlockDense(nn.Module):
         wq_enc = make_weight_quantizer(self.q, wshape, ch_axis=1, name="weight_fake_quantize")
         if wq_enc is not None:
             w_enc = wq_enc(w_enc)
-        Y_q = jnp.dot(y_q, w_enc)
+        yc, wc = mxu_operands(self.q, y_q, w_enc)
+        Y_q = jnp.dot(yc, wc, preferred_element_type=jnp.float32)
         if self.use_bias:
             b = self.param("residual_encoder_bias", torch_uniform_init(bound), (self.latent_features,))
             Y_q = Y_q + b
@@ -284,7 +290,8 @@ class _ResidualErrorBlockDense(nn.Module):
                 w_dec = wq_dec(w_dec)
         else:
             w_dec = w_decoder
-        return jnp.dot(Y1, w_dec)
+        Y1c, wdc = mxu_operands(self.q, Y1, w_dec)
+        return jnp.dot(Y1c, wdc, preferred_element_type=jnp.float32)
 
 
 class QLinearDecoder(nn.Module):
@@ -303,7 +310,8 @@ class QLinearDecoder(nn.Module):
         w = self.param("kernel", torch_uniform_init(bound), wshape)
         wq = make_weight_quantizer(self.q, wshape, ch_axis=1)
         w_decoder = wq(w) if wq is not None else w
-        x0 = jnp.dot(x, w_decoder)
+        xc, wc = mxu_operands(self.q, x, w_decoder)
+        x0 = jnp.dot(xc, wc, preferred_element_type=jnp.float32)
         if self.use_bias:
             b = self.param("bias", torch_uniform_init(bound), (self.features,))
             x0 = x0 + b
@@ -377,13 +385,15 @@ class _ResidualErrorBlock2d(nn.Module):
         else:
             w_dec = w_decoder
         pads = [(kh - 1, kh - 1), (kw - 1, kw - 1)]
+        Y1c, wc = mxu_operands(self.q, Y1, jnp.flip(w_dec, axis=(0, 1)))
         out = lax.conv_general_dilated(
-            Y1,
-            jnp.flip(w_dec, axis=(0, 1)),
+            Y1c,
+            wc,
             window_strides=(1, 1),
             padding=pads,
             lhs_dilation=self.stride,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
         )
         if b_dec is not None:
             out = out + b_dec
@@ -412,13 +422,15 @@ class QConvTr2dDecoder(nn.Module):
         wq = make_weight_quantizer(self.q, wshape, ch_axis=3)
         w_decoder = wq(w) if wq is not None else w
         pads = [(kh - 1, kh - 1), (kw - 1, kw - 1)]
+        xc, wc = mxu_operands(self.q, x, jnp.flip(w_decoder, axis=(0, 1)))
         x0 = lax.conv_general_dilated(
-            x,
-            jnp.flip(w_decoder, axis=(0, 1)),
+            xc,
+            wc,
             window_strides=(1, 1),
             padding=pads,
             lhs_dilation=self.stride,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             b = self.param("bias", torch_uniform_init(bound), (self.features,))

@@ -109,6 +109,17 @@ def _pair(v):
     return (v, v) if isinstance(v, int) else tuple(v)
 
 
+def mxu_operands(q: QuantSpec, x: Array, w: Array) -> tuple[Array, Array]:
+    """Cast matmul/conv operands to the spec's MXU compute dtype.
+
+    Grid math (fake-quant) runs in f32 before this; accumulation stays f32
+    via preferred_element_type at every call site."""
+    dt = q.mxu_dtype
+    if dt == x.dtype:
+        return x, w
+    return x.astype(dt), w.astype(dt)
+
+
 def conv_out_len(li: int, k: int, stride: int, padding: int, dilation: int) -> int:
     return math.floor((li + 2 * padding - dilation * (k - 1) - 1) / stride + 1)
 
@@ -153,14 +164,16 @@ class QConv1d(nn.Module):
         wq = make_weight_quantizer(self.q, wshape, ch_axis=2)
         if wq is not None:
             w = wq(w)
+        xc, wc = mxu_operands(self.q, x, w)
         y = lax.conv_general_dilated(
-            x,
-            w,
+            xc,
+            wc,
             window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=self.groups,
+            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             b = self.param("bias", torch_uniform_init(bound), (self.features,))
@@ -208,14 +221,16 @@ class QConv2d(nn.Module):
         wq = make_weight_quantizer(self.q, wshape, ch_axis=3)
         if wq is not None:
             w = wq(w)
+        xc, wc = mxu_operands(self.q, x, w)
         y = lax.conv_general_dilated(
-            x,
-            w,
+            xc,
+            wc,
             window_strides=s,
             padding=[(p[0], p[0]), (p[1], p[1])],
             rhs_dilation=d,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=self.groups,
+            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             b = self.param("bias", torch_uniform_init(bound), (self.features,))
@@ -263,14 +278,16 @@ class QConvTranspose1d(nn.Module):
         if wq is not None:
             w = wq(w)
         pad = self.dilation * (self.kernel_size - 1) - self.padding
+        xc, wc = mxu_operands(self.q, x, jnp.flip(w, axis=0))
         y = lax.conv_general_dilated(
-            x,
-            jnp.flip(w, axis=0),
+            xc,
+            wc,
             window_strides=(1,),
             padding=[(pad, pad + self.output_padding)],
             lhs_dilation=(self.stride,),
             rhs_dilation=(self.dilation,),
             dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             b = self.param("bias", torch_uniform_init(bound), (self.features,))
@@ -316,14 +333,16 @@ class QConvTranspose2d(nn.Module):
             (d[0] * (k[0] - 1) - p[0], d[0] * (k[0] - 1) - p[0] + op[0]),
             (d[1] * (k[1] - 1) - p[1], d[1] * (k[1] - 1) - p[1] + op[1]),
         ]
+        xc, wc = mxu_operands(self.q, x, jnp.flip(w, axis=(0, 1)))
         y = lax.conv_general_dilated(
-            x,
-            jnp.flip(w, axis=(0, 1)),
+            xc,
+            wc,
             window_strides=(1, 1),
             padding=pads,
             lhs_dilation=s,
             rhs_dilation=d,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
         )
         if self.use_bias:
             b = self.param("bias", torch_uniform_init(bound), (self.features,))
@@ -365,7 +384,8 @@ class QDense(nn.Module):
         wq = make_weight_quantizer(self.q, wshape, ch_axis=1)
         if wq is not None:
             w = wq(w)
-        y = jnp.dot(x, w)
+        xc, wc = mxu_operands(self.q, x, w)
+        y = jnp.dot(xc, wc, preferred_element_type=jnp.float32)
         if self.use_bias:
             b = self.param("bias", torch_uniform_init(bound), (self.features,))
             y = y + b

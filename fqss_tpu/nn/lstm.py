@@ -89,7 +89,10 @@ class _LSTMDirection(nn.Module):
 
         xs = jnp.flip(x, axis=1) if self.reverse else x
         # Hoist the input projection out of the scan: one MXU matmul.
-        ih_all = jnp.einsum("btc,ch->bth", xs, w_ih) + b_ih + b_hh
+        from fqss_tpu.nn.layers import mxu_operands
+
+        xsc, w_ih_c = mxu_operands(self.q, xs, w_ih)
+        ih_all = jnp.einsum("btc,ch->bth", xsc, w_ih_c, preferred_element_type=jnp.float32) + b_ih + b_hh
 
         quant_cfg = self.q.qat and self.q.act_quant and self.mode in ("dynamic", "static")
         if self.mode == "dynamic" and quant_cfg:

@@ -1,6 +1,6 @@
 """Pallas TPU kernels for the fake-quant hot path (serving/inference).
 
-Two kernels per SURVEY §7's fusion plan:
+Three kernels per SURVEY §7's fusion plan:
 
 * :func:`fake_quant_pallas` — tiled elementwise linear fake-quant: one VMEM
   pass computing round/clip/dequant on the uniform (asymmetric) grid.
@@ -8,6 +8,12 @@ Two kernels per SURVEY §7's fusion plan:
   symmetric weight quant-dequant + MXU matmul + per-tensor activation
   fake-quant epilogue in one kernel, so the weight grid never round-trips
   to HBM and the activation grid fuses into the matmul's result tile.
+* :func:`int8_matmul_requant_pallas` — the serving engine's hot op: TRUE
+  int8 MXU matmul (s8 x s8 -> s32) + per-channel dequant + bias/PReLU +
+  requantize to the next layer's 8-bit grid, emitting int8 directly. The
+  f32 intermediate never touches HBM: inputs and outputs are 1 byte/elem,
+  cutting activation bandwidth 4x vs the f32 fake-quant path on top of the
+  int8 MXU's 2x-over-bf16 FLOP rate.
 
 These are forward-only (inference/serving) kernels; QAT training keeps the
 XLA path where learned-range gradients flow. Numerics match
@@ -151,4 +157,81 @@ def qmatmul_pallas(
             transcendentals=0,
         ),
     )(xp, wp, wrng, arng)
+    return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
+# Int8 serving matmul: s8 x s8 -> s32 dot + dequant + PReLU + requant -> s8
+# ---------------------------------------------------------------------------
+
+
+def _qmm8_kernel(x_ref, w_ref, sc_ref, corr_ref, eps_ref, o_ref):
+    # int8 x int8 -> int32 on the MXU
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    v = acc * sc_ref[0, :] + corr_ref[0, :]
+    alpha = eps_ref[0, 0]  # PReLU slope; 1.0 = identity, 0.0 = ReLU
+    v = jnp.where(v >= 0, v, alpha * v)
+    delta = eps_ref[0, 1]
+    mn = eps_ref[0, 2]
+    X = jnp.clip(jnp.round((v - mn) / delta), 0.0, 255.0)
+    o_ref[:] = (X - 128.0).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "interpret"))
+def int8_matmul_requant_pallas(
+    xs: Array,
+    w_int: Array,
+    scale: Array,
+    corr: Array,
+    alpha: Array,
+    out_delta: Array,
+    out_mn: Array,
+    tm: int = 256,
+    tn: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """out_s8 = requant(prelu(dot_s32(xs, w_int) * scale + corr)).
+
+    xs: [M, K] int8 (zero-point-shifted activations, Xs = X - 128);
+    w_int: [K, N] int8; scale/corr: [N] f32 per-out-channel dequant
+    (delta_x * s_w and the zero-point/bias correction); alpha: PReLU slope
+    scalar (1.0 disables); (out_delta, out_mn): the next grid. Returns
+    [M, N] int8 in the same shifted convention. Semantics match the
+    serving engine's XLA path (serve/convtasnet_int8.py _int1x1 + _requant)
+    bit-for-bit.
+    """
+    m, k = xs.shape
+    k2, n = w_int.shape
+    assert k == k2
+    mp, np_, kp = _round_up(m, tm), _round_up(n, tn), _round_up(k, 128)
+    xp = jnp.pad(xs, ((0, mp - m), (0, kp - k)))
+    wp = jnp.pad(w_int, ((0, kp - k), (0, np_ - n)))
+    scp = jnp.pad(scale.reshape(-1).astype(jnp.float32), (0, np_ - n), constant_values=1.0).reshape(1, np_)
+    cop = jnp.pad(corr.reshape(-1).astype(jnp.float32), (0, np_ - n)).reshape(1, np_)
+    eps = jnp.stack([
+        jnp.asarray(alpha, jnp.float32).reshape(()),
+        jnp.asarray(out_delta, jnp.float32).reshape(()),
+        jnp.asarray(out_mn, jnp.float32).reshape(()),
+    ]).reshape(1, 3)
+    out = pl.pallas_call(
+        _qmm8_kernel,
+        grid=(mp // tm, np_ // tn),
+        in_specs=[
+            pl.BlockSpec((tm, kp), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int8),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_ + mp * np_,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, wp, scp, cop, eps)
     return out[:m, :n]

@@ -41,6 +41,18 @@ class QuantSpec:
     # TPU-build extensions (reference equivalents are code-level choices):
     act_quantizer: str = "linear"  # 'linear' | 'mse'
     lstm_mode: str = "fused"  # 'fused' | 'static' | 'dynamic' (qat_layers.py:571-862)
+    # MXU compute dtype for convs/matmuls: 'float32' | 'bfloat16'. The v5e
+    # MXU runs bf16 ~4x faster than f32; quantizer grid math stays f32 and
+    # accumulation is f32 (preferred_element_type), so only the 8-bit-grid
+    # operand values round to bf16 (<=2^-8 relative) — the serving/bench
+    # fast path. Default f32 keeps QAT bit-faithful to the reference.
+    compute_dtype: str = "float32"
+
+    @property
+    def mxu_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
     @classmethod
     def from_config(cls, cfg: Mapping[str, Any] | None) -> "QuantSpec":

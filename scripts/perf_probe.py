@@ -1,0 +1,143 @@
+"""Perf probe: where does the ConvTasNet QAT forward time go on a v5e chip?
+
+Measures (1) the current f32 QAT forward, (2) the float forward (isolates
+fake-quant overhead), (3) raw matmul rates f32/bf16/int8 at TCN shapes to
+size the headroom for a low-precision serving path.
+
+Run: python scripts/perf_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from fqss_tpu.models import ConvTasNet
+from fqss_tpu.quant import QuantSpec
+
+SEG = 96000
+BATCH = 32
+KERNEL, STRIDE = 16, 8
+
+
+import numpy as np
+
+
+def timeit(fn, *args, n=30):
+    """Time fn(*args, tick) with a distinct scalar tick per call AND a host
+    readback per call.
+
+    Through the axon TPU tunnel, block_until_ready does not reliably wait for
+    execution and repeated identical (executable, inputs) dispatches can be
+    served from a cache — so honest timing must (a) vary an input per call
+    and (b) fetch a value derived from the output to the host.
+    """
+    np.asarray(jax.device_get(fn(*args, jnp.float32(-1.0))))  # warm/compile
+    ticks = [jnp.float32(i) for i in range(n)]
+    t0 = time.perf_counter()
+    for t in ticks:
+        out = fn(*args, t)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(jax.device_get(leaf.ravel()[:1]))
+    return (time.perf_counter() - t0) / n
+
+
+def bench_model(q: QuantSpec, label: str, n=8):
+    model = ConvTasNet(n_srcs=2, kernel_size=KERNEL, stride=STRIDE, q=q)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, SEG), minval=-1.0, maxval=1.0)
+    variables = model.init(jax.random.PRNGKey(1), x)
+    fwd = jax.jit(lambda v, x, tick: model.apply(v, x + tick * 1e-6))
+    dt = timeit(fwd, variables, x, n=n)
+    sa = BATCH * SEG / 8000.0 / dt
+    print(f"{label:36s} {dt*1e3:8.2f} ms   {sa:12,.0f} sec-audio/s", flush=True)
+    return dt
+
+
+def bench_matmuls():
+    # TCN 1x1 conv shape: M = B * T_frames, K=128->512 etc.
+    M, K, N = 32 * 12000, 512, 512
+    REP = 20  # chain REP dependent matmuls inside one jit so nothing overlaps
+
+    for dt_in, dt_acc, label in [
+        (jnp.float32, jnp.float32, "matmul f32"),
+        (jnp.bfloat16, jnp.float32, "matmul bf16 (f32 acc)"),
+        (jnp.int8, jnp.int32, "matmul int8 (i32 acc)"),
+    ]:
+        key = jax.random.PRNGKey(0)
+        if dt_in == jnp.int8:
+            a = jax.random.randint(key, (M, K), -127, 127, jnp.int8)
+            b = jax.random.randint(key, (K, N), -127, 127, jnp.int8)
+
+            def f(a, b, tick):
+                acc = a + tick.astype(jnp.int8)
+                for _ in range(REP):
+                    o = jax.lax.dot_general(acc, b, (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.int32)
+                    acc = (o >> 8).astype(jnp.int8)  # feed output back, keep int8
+                return acc
+        else:
+            a = jax.random.normal(key, (M, K), dt_in)
+            b = jax.random.normal(key, (K, N), dt_in)
+
+            def f(a, b, tick):
+                acc = a + tick.astype(dt_in)
+                for _ in range(REP):
+                    o = jax.lax.dot_general(acc, b, (((1,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+                    acc = (o * 1e-3).astype(dt_in)
+                return acc
+        jf = jax.jit(f)
+        try:
+            d = timeit(jf, a, b, n=5) / REP
+            tops = 2 * M * K * N / d / 1e12
+            print(f"{label:36s} {d*1e3:8.3f} ms   {tops:8.1f} T(FL)OP/s", flush=True)
+        except Exception as e:
+            print(f"{label:36s} FAILED: {type(e).__name__}: {e}")
+
+
+def bench_engine(q: QuantSpec, compute_dtype: str, use_pallas: bool, label: str, n=8):
+    import dataclasses
+
+    from fqss_tpu.serve import ConvTasNetInt8Engine
+
+    model = ConvTasNet(n_srcs=2, kernel_size=KERNEL, stride=STRIDE, q=q)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, SEG), minval=-1.0, maxval=1.0)
+    # one observer pass for sane ranges (init ranges are fine for perf)
+    obs_model = ConvTasNet(n_srcs=2, kernel_size=KERNEL, stride=STRIDE, q=dataclasses.replace(q, observer=True))
+    variables = dict(obs_model.init(jax.random.PRNGKey(1), x))
+    engine = ConvTasNetInt8Engine(model, variables, compute_dtype=compute_dtype, use_pallas=use_pallas)
+    fwd = jax.jit(lambda x, tick: engine._forward(x + tick * 1e-6))
+    dt = timeit(fwd, x, n=n)
+    sa = BATCH * SEG / 8000.0 / dt
+    print(f"{label:36s} {dt*1e3:8.2f} ms   {sa:12,.0f} sec-audio/s", flush=True)
+    return dt
+
+
+def main():
+    import dataclasses
+
+    print(f"device: {jax.devices()}")
+    if "--matmuls" in sys.argv:
+        bench_matmuls()
+        return
+    q_float = QuantSpec(qat=False)
+    q_qat = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
+    q_bf16 = dataclasses.replace(q_qat, compute_dtype="bfloat16")
+    bench_model(q_float, "ConvTasNet float f32")
+    bench_model(q_qat, "ConvTasNet FQSS-8bit QAT f32")
+    bench_model(q_bf16, "ConvTasNet FQSS-8bit QAT bf16")
+    bench_engine(q_qat, "bfloat16", False, "int8 engine (XLA, bf16 rest)")
+    try:
+        bench_engine(q_qat, "bfloat16", True, "int8 engine (Pallas fused)")
+    except Exception as e:
+        print(f"pallas engine FAILED: {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()

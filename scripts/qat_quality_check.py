@@ -23,21 +23,25 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
-from fqss_tpu.data import synth_batch
+from fqss_tpu.data import synth_band_batch, synth_batch
 from fqss_tpu.models import ConvTasNet
 from fqss_tpu.quant import QuantSpec
 from fqss_tpu.separation.losses import pit_neg_sisdr_db
+from fqss_tpu.separation.splitter import split_msb_lsb
 from fqss_tpu.train import TrainConfig, create_train_state, make_optimizer, make_train_step
 
 ARCH = dict(n_srcs=2, kernel_size=16, stride=8, n_filters=128, bn_chan=32, hid_chan=64, n_blocks=4, n_repeats=2)
 SEG = 8000  # 1s @ 8k
 BATCH = 8
 
+TASKS = {"band": lambda rng, b, t: synth_band_batch(rng, b, t), "hard": lambda rng, b, t: synth_batch(rng, b, 2, t)}
+_gen = TASKS["band"]
+
 
 def data_stream(seed: int):
     rng = np.random.default_rng(seed)
     while True:
-        yield synth_batch(rng, BATCH, 2, SEG)
+        yield _gen(rng, BATCH, SEG)
 
 
 def eval_sisdr(model, variables, n_batches: int = 8, seed: int = 999) -> float:
@@ -45,10 +49,39 @@ def eval_sisdr(model, variables, n_batches: int = 8, seed: int = 999) -> float:
     fwd = jax.jit(lambda v, x: model.apply(v, x))
     vals = []
     for _ in range(n_batches):
-        mix, src = synth_batch(rng, BATCH, 2, SEG)
+        mix, src = _gen(rng, BATCH, SEG)
         est = fwd(variables, jnp.asarray(mix))[..., :SEG]
         vals.append(-float(pit_neg_sisdr_db(est, jnp.asarray(src))))
     return float(np.mean(vals))
+
+
+def io_ceilings(seed: int = 999, n_batches: int = 8) -> tuple[float, float]:
+    """Representational SI-SDR ceilings of the two output paths.
+
+    vanilla: the target itself pushed through an 8-bit uniform output grid —
+    the best ANY model whose output is 8-bit quantized can do.
+    fqss: the target split into MSB + LSB planes (split_msb_lsb — the
+    combiner's ideal decoder outputs), each plane 8-bit quantized, then
+    recombined as plane0 + plane1*(0.5*delta). The LSB plane's quantization
+    error enters scaled by 0.5*delta, lifting the ceiling by ~2^(bits-1)."""
+    rng = np.random.default_rng(seed)
+    v8, vs = [], []
+    delta = 1.0 / 128.0
+    for _ in range(n_batches):
+        _, src = _gen(rng, BATCH, SEG)
+        s = jnp.asarray(src)  # [B, 2, T]
+        # vanilla: 8-bit round-to-nearest over the true per-sample range
+        th = jnp.max(jnp.abs(s), axis=(1, 2), keepdims=True)
+        step = th * delta
+        q8 = jnp.clip(jnp.round(s / step), -128, 127) * step
+        # fqss: ideal MSB/LSB planes, each through an 8-bit output grid
+        msb, lsb = split_msb_lsb(s)  # msb already on the 8-bit grid
+        lstep = (2.0 * th) * delta  # lsb lives in [0, 2*th)
+        lsb_q = jnp.clip(jnp.round(lsb / lstep), -128, 127) * lstep
+        rec = msb + lsb_q * (0.5 * delta)
+        v8.append(-float(pit_neg_sisdr_db(q8, s)))
+        vs.append(-float(pit_neg_sisdr_db(rec, s)))
+    return float(np.mean(v8)), float(np.mean(vs))
 
 
 def train(model, teacher, variables, teacher_params, cfg, steps, seed):
@@ -71,10 +104,17 @@ def train(model, teacher, variables, teacher_params, cfg, steps, seed):
 
 
 def main():
+    global _gen
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps-float", type=int, default=3000)
     ap.add_argument("--steps-qat", type=int, default=1500)
+    ap.add_argument("--task", choices=sorted(TASKS), default="band")
     args = ap.parse_args()
+    _gen = TASKS[args.task]
+
+    ceil8, ceil_fqss = io_ceilings()
+    print(f"8-bit output representational ceiling: {ceil8:.2f} dB")
+    print(f"FQSS splitter/combiner ceiling:        {ceil_fqss:.2f} dB")
 
     x0 = jnp.zeros((BATCH, SEG))
 
@@ -112,6 +152,8 @@ def main():
     print(f"vanilla-8bit SI-SDR: {vanilla_sisdr:.2f} dB")
 
     print("\n==== RESULT ====")
+    print(f"task: {args.task}")
+    print(f"8-bit output ceiling:  {ceil8:.2f} dB | splitter ceiling: {ceil_fqss:.2f} dB")
     print(f"float:       {float_sisdr:.2f} dB")
     print(f"vanilla QAT: {vanilla_sisdr:.2f} dB (gap {float_sisdr - vanilla_sisdr:+.2f})")
     print(f"FQSS QAT:    {qat_sisdr:.2f} dB (gap {float_sisdr - qat_sisdr:+.2f})")

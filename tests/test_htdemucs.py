@@ -150,6 +150,7 @@ def test_htdemucs_qat_forward_and_plan():
     assert "freq_emb" in v[QPARAMS] and "mul_freq" in v[QPARAMS] and "add_freq" in v[QPARAMS]
 
 
+@pytest.mark.slow
 def test_htdemucs_eval_pads_to_train_segment():
     m = HTDemucs(**TINY)
     x = jax.random.uniform(jax.random.PRNGKey(0), (1, 2, 4000), minval=-1, maxval=1)

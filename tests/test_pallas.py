@@ -85,3 +85,38 @@ def test_qmatmul_pallas_no_act_quant():
     err = np.abs(got - want)
     assert np.median(err) < 1e-5
     assert err.max() < 0.1, err.max()
+
+
+def test_int8_matmul_requant_matches_engine_xla_path():
+    """The fused serving kernel == the engine's XLA int8+requant semantics."""
+    from fqss_tpu.ops.pallas_quant import int8_matmul_requant_pallas
+    from fqss_tpu.serve.convtasnet_int8 import _Grid, _int1x1, _Int8Weight, _prelu, _QAct, _requant
+
+    rng = np.random.default_rng(2)
+    M, K, N = 70, 48, 40
+    xs = rng.integers(-128, 128, size=(M, K)).astype(np.int8)
+    w_int = rng.integers(-128, 128, size=(K, N)).astype(np.int8)
+    s_w = (rng.uniform(0.5, 2.0, size=(N,)) * 1e-3).astype(np.float32)
+    bias = rng.normal(size=(N,)).astype(np.float32) * 0.01
+    g_in = _Grid(delta=np.float32(0.01), mn=np.float32(-1.2))
+    g_out = _Grid(delta=np.float32(0.005), mn=np.float32(-0.6))
+    alpha = np.float32(0.25)
+
+    qa = _QAct(jnp.asarray(xs).reshape(1, M, K), g_in)
+    w8 = _Int8Weight(w_int=w_int, scale=s_w, sum_w=w_int.sum(axis=0).astype(np.float32), bias=bias)
+    v = _int1x1(qa, w8)
+    v = _prelu(v, jnp.float32(alpha))
+    want = _requant(v, g_out).Xs[0]
+
+    corr = (g_in.mn + 128.0 * g_in.delta) * s_w * w8.sum_w + bias
+    got = int8_matmul_requant_pallas(
+        jnp.asarray(xs),
+        jnp.asarray(w_int),
+        jnp.asarray(g_in.delta * s_w),
+        jnp.asarray(corr),
+        jnp.float32(alpha),
+        jnp.float32(g_out.delta),
+        jnp.float32(g_out.mn),
+    )
+    mismatch = np.mean(np.asarray(got) != np.asarray(want))
+    assert mismatch < 5e-4, f"pallas int8 kernel mismatch frac {mismatch}"

@@ -1,0 +1,156 @@
+"""Int8 serving engine parity vs the fake-quant QAT forward.
+
+Two levels of evidence (fqss_tpu/serve/convtasnet_int8.py):
+
+1. *Layer-exact*: the int8 matmul (s8 x s8 -> s32 + dequant/correction)
+   reproduces the fake-quant 1x1 conv bit-tightly on the same input — the
+   engine's core claim.
+2. *End-to-end*: two different COMPILATIONS of the same quantized network
+   cannot agree bitwise — XLA's algebraic rewrites (FMA, reciprocal-multiply)
+   shift round() tie boundaries at every one of the ~100 quant sites, and
+   flips cascade (measured here: the flax model's own eager-vs-jit forwards
+   differ on >90% of elements by a few output LSBs). The meaningful
+   end-to-end criterion is therefore agreement at the output grid's own
+   noise floor: SNR(engine vs model) comparable to the 8-bit output SNR,
+   with differences bounded to a few grid steps.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fqss_tpu.models import ConvTasNet
+from fqss_tpu.quant import QuantSpec
+from fqss_tpu.quant.fake_quant import linear_fake_quant
+from fqss_tpu.serve import ConvTasNetInt8Engine
+from fqss_tpu.serve.convtasnet_int8 import _Grid, _int1x1, _int8_weight, _QAct, _requant
+
+ARCH = dict(n_srcs=2, kernel_size=16, stride=8, n_filters=64, bn_chan=24, hid_chan=48, n_blocks=3, n_repeats=2)
+
+
+# ---------------------------------------------------------------------------
+# 1. Layer-exact: int8 matmul == fake-quant conv1x1 on identical inputs
+# ---------------------------------------------------------------------------
+
+
+def test_int8_1x1_exactly_matches_fake_quant():
+    rng = np.random.default_rng(0)
+    K, N, B, T = 48, 56, 2, 37
+    w = rng.normal(size=(1, K, N)).astype(np.float32) * 0.2
+    wmin = w.min(axis=(0, 1)).reshape(1, 1, N)
+    wmax = w.max(axis=(0, 1)).reshape(1, 1, N)
+    bias = rng.normal(size=(N,)).astype(np.float32) * 0.1
+
+    g = _Grid(delta=np.float32(0.0123), mn=np.float32(-1.37))
+    X = rng.integers(0, 256, size=(B, T, K))
+    x_f32 = g.delta * X.astype(np.float32) + g.mn  # exactly on the act grid
+    qa = _QAct(jnp.asarray((X - 128).astype(np.int8)), g)
+
+    # fake-quant reference: quantize weight per-channel, conv, add bias
+    w_fq = linear_fake_quant(jnp.asarray(w), jnp.asarray(wmin), jnp.asarray(wmax), 8, True, True)
+    y_ref = jnp.einsum("btk,kn->btn", jnp.asarray(x_f32), w_fq[0]) + bias
+
+    w8 = _int8_weight(w, {"min_range": wmin, "max_range": wmax}, bias)
+    y_int8 = _int1x1(qa, w8)
+    err = float(jnp.max(jnp.abs(y_int8 - y_ref)))
+    assert err < 1e-4, f"int8 1x1 deviates from fake-quant conv: {err:.2e}"
+
+
+def test_requant_matches_act_quantizer_grid():
+    rng = np.random.default_rng(1)
+    g = _Grid(delta=np.float32(0.02), mn=np.float32(-2.0))
+    x = rng.normal(size=(3, 100)).astype(np.float32)
+    got = _requant(jnp.asarray(x), g).f32
+    want = linear_fake_quant(jnp.asarray(x), jnp.asarray([g.mn]), jnp.asarray([g.mn + 255 * g.delta]), 8, True, False)
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# 2. End-to-end: agreement at the output grid's noise floor
+# ---------------------------------------------------------------------------
+
+
+def _ranged_variables(q, x, key=0):
+    q_obs = dataclasses.replace(q, observer=True)
+    obs_model = ConvTasNet(q=q_obs, **ARCH)
+    var = dict(obs_model.init(jax.random.PRNGKey(key), x))
+    for _ in range(60):
+        _, upd = obs_model.apply(var, x, mutable=["qparams", "qstats"])
+        var = {**var, **upd}
+    return var
+
+
+def _out_lsb(variables) -> float:
+    qp = variables["qparams"]["decoder"]["activation_fake_quantize"]
+    mn = float(np.asarray(qp["min_range"]).reshape(-1)[0])
+    mx = float(np.asarray(qp["max_range"]).reshape(-1)[0])
+    return (mx - mn) / 255.0
+
+
+def _snr_db(ref, est) -> float:
+    num = float(jnp.sum(ref**2))
+    den = float(jnp.sum((ref - est) ** 2)) + 1e-12
+    return 10.0 * np.log10(num / den)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
+    model = ConvTasNet(q=q, **ARCH)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, 4000), minval=-1.0, maxval=1.0)
+    variables = _ranged_variables(q, x)
+    y_ref = jax.jit(model.apply)(variables, x)
+    # the model's own cross-compilation agreement (eager vs jit) is the
+    # yardstick any other implementation of the same quantized function
+    # should be measured against
+    snr_self = _snr_db(y_ref, model.apply(variables, x))
+    return model, variables, x, y_ref, snr_self
+
+
+@pytest.mark.slow
+def test_engine_agrees_at_grid_noise_floor(setup):
+    model, variables, x, y_ref, snr_self = setup
+    engine = ConvTasNetInt8Engine(model, variables, compute_dtype="float32")
+    y = engine(x)
+    assert y.shape == y_ref.shape
+    lsb = _out_lsb(variables)
+    diff = jnp.abs(y - y_ref)
+    # cross-compilation agreement: bounded by a few grid steps everywhere,
+    # typical difference well under one step, SNR no worse than the model's
+    # own eager-vs-jit agreement
+    assert float(jnp.max(diff)) <= 10.0 * lsb, f"{float(jnp.max(diff)):.3e} vs lsb {lsb:.3e}"
+    assert float(jnp.mean(diff)) <= 1.5 * lsb
+    snr = _snr_db(y_ref, y)
+    assert snr >= snr_self - 3.0, f"engine SNR {snr:.1f} dB vs model self-agreement {snr_self:.1f} dB"
+
+
+@pytest.mark.slow
+def test_engine_bf16_close(setup):
+    model, variables, x, y_ref, snr_self = setup
+    engine = ConvTasNetInt8Engine(model, variables, compute_dtype="bfloat16")
+    y = engine(x)
+    lsb = _out_lsb(variables)
+    diff = jnp.abs(y - y_ref)
+    assert float(jnp.mean(diff)) <= 2.0 * lsb
+    assert _snr_db(y_ref, y) >= snr_self - 5.0
+
+
+@pytest.mark.slow
+def test_engine_single_combiner():
+    q = QuantSpec(qat=True, observer=False, n_splitter=1, n_combiner=1, out_quant=True)
+    model = ConvTasNet(q=q, **ARCH)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (1, 2400), minval=-1.0, maxval=1.0)
+    var = _ranged_variables(q, x)
+    y_ref = jax.jit(model.apply)(var, x)
+    snr_self = _snr_db(y_ref, model.apply(var, x))
+    engine = ConvTasNetInt8Engine(model, var, compute_dtype="float32")
+    y = engine(x)
+    lsb = _out_lsb(var)
+    diff = jnp.abs(y - y_ref)
+    assert float(jnp.max(diff)) <= 10.0 * lsb
+    assert float(jnp.mean(diff)) <= 1.5 * lsb
+    assert _snr_db(y_ref, y) >= snr_self - 3.0

@@ -70,6 +70,7 @@ def test_observer_phase_then_training():
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_skip_nonfinite_batch():
     model, teacher = _tiny_models()
     cfg = TrainConfig(kd_lambda=0.0, lr=1e-3)
@@ -158,6 +159,7 @@ def test_threshold_byloss_keeps_hard_samples():
     assert int(state.skipped) == 0
 
 
+@pytest.mark.slow
 def test_threshold_byloss_applies_under_kd():
     """The reference applies per-sample thresholding to the KD-weighted loss
     during QAT training (speechbrain_librimix_trainer.py:138-149) — the
