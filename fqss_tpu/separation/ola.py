@@ -38,6 +38,7 @@ def ola_infer(
     target: np.ndarray | None = None,
     chunk_batch: int = 8,
     mesh=None,
+    center_pad_to: int | None = None,
 ) -> np.ndarray:
     """Chunked separation of one track.
 
@@ -49,6 +50,14 @@ def ola_infer(
     axis is embarrassingly parallel (SURVEY.md §5 long-context scaling), so
     each device block of ``chunk_batch`` chunks runs concurrently and the
     host recombination is unchanged.
+
+    ``center_pad_to``: demucs TensorChunk semantics
+    (reference train_env/tasnet_musdbhq/musdbhq_utils.py:86-111 ``padded``):
+    every chunk shorter than this length (the tail chunk; or all chunks when
+    the model wants its fixed ``use_train_segment`` length) is padded to it
+    CENTERED, using the real surrounding mixture as context where available
+    and zeros past the track edges; the model output is center-trimmed back.
+    None = plain right-zero-padding (the speech reference's process.py:176).
     """
     mix = np.asarray(mix, np.float32)
     channels, length = mix.shape
@@ -64,13 +73,27 @@ def ola_infer(
     offsets = list(range(0, length, stride))
     weight = triangular_weight(segment)
 
-    # Gather chunks (right-pad the tail) -> one device batch.
-    chunks = np.zeros((len(offsets), channels, segment), np.float32)
+    pad_target = max(center_pad_to or segment, segment)
+    # Gather chunks -> one device batch. Tail/short chunks are right-zero
+    # padded (reference speech path) or center-padded with real mixture
+    # context (demucs TensorChunk path) depending on center_pad_to.
+    chunks = np.zeros((len(offsets), channels, pad_target), np.float32)
     chunk_lens = []
+    trim_lefts = []
     for i, off in enumerate(offsets):
         stop = min(off + segment, length)
-        chunks[i, :, : stop - off] = mix[:, off:stop]
-        chunk_lens.append(stop - off)
+        clen = stop - off
+        if center_pad_to is None:
+            chunks[i, :, :clen] = mix[:, off:stop]
+            trim_lefts.append(0)
+        else:
+            delta = pad_target - clen
+            start = off - delta // 2
+            end = start + pad_target
+            cs, ce = max(0, start), min(length, end)
+            chunks[i, :, cs - start : cs - start + (ce - cs)] = mix[:, cs:ce]
+            trim_lefts.append(delta // 2)
+        chunk_lens.append(clen)
 
     step = chunk_batch
     sharding = None
@@ -85,22 +108,23 @@ def ola_infer(
         block = chunks[i : i + step]
         pad_n = step - block.shape[0]
         if pad_n:
-            block = np.concatenate([block, np.zeros((pad_n, channels, segment), np.float32)])
+            block = np.concatenate([block, np.zeros((pad_n, channels, pad_target), np.float32)])
         x = jnp.asarray(block[:, 0] if channels == 1 else block)
         if sharding is not None:
             x = jax.device_put(x, sharding)
         y = np.asarray(apply_fn(x))
         if pad_n:
             y = y[: step - pad_n]
-        outs.append(y[..., :segment])
-    chunk_out = np.concatenate(outs, axis=0)  # [K, S, (C,) segment]
+        outs.append(y[..., :pad_target])
+    chunk_out = np.concatenate(outs, axis=0)  # [K, S, (C,) pad_target]
 
     out_shape = (n_srcs, channels, length) if channels > 1 else (n_srcs, length)
     out = np.zeros(out_shape, np.float32)
     sum_weight = np.zeros(length, np.float32)
     for i, off in enumerate(offsets):
         clen = chunk_lens[i]
-        co = chunk_out[i][..., :clen]
+        tl = trim_lefts[i]
+        co = chunk_out[i][..., tl : tl + clen]
         if target is not None and n_srcs > 1:
             co = swap_channel_order(co, target[..., off : off + clen])
         out[..., off : off + clen] += weight[:clen] * co

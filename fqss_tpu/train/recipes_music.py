@@ -194,6 +194,10 @@ def _validate_music(
         est = ola_infer(
             apply_fn, mix, n_srcs=len(sources),
             segment=testing_cfg.get("segment_samples"), overlap=0.0,
+            # demucs TensorChunk semantics: valid chunks are center-padded
+            # with real context to the model's train segment
+            # (use_train_segment; musdbhq_utils.py:86-111)
+            center_pad_to=testing_cfg.get("segment_samples") if is_htdemucs else None,
         )
         est = np.nan_to_num(est)[..., : srcs.shape[-1]]
         l1 = np.abs(est - srcs).mean(axis=tuple(range(1, srcs.ndim)))  # per source

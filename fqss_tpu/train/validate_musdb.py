@@ -44,7 +44,8 @@ def _separate_track(model, variables, track_dir: str, sources, testing_cfg, trai
 
     from fqss_tpu.models.htdemucs import HTDemucs
 
-    if isinstance(model, HTDemucs):
+    is_htd = isinstance(model, HTDemucs)
+    if is_htd:
         apply_fn = jax.jit(lambda x: model.apply(variables, x, train=False))
     else:
         apply_fn = jax.jit(lambda x: model.apply(variables, x))
@@ -53,6 +54,9 @@ def _separate_track(model, variables, track_dir: str, sources, testing_cfg, trai
         segment=testing_cfg.get("segment_samples"),
         overlap=testing_cfg.get("overlap", 0.25),
         mesh=mesh,
+        # use_train_segment: chunks center-padded with real context to the
+        # train segment (demucs TensorChunk, musdbhq_utils.py:86-111)
+        center_pad_to=testing_cfg.get("segment_samples") if is_htd else None,
     )
     # valid-path nan guard (solver.py:325 torch.nan_to_num)
     seps = np.nan_to_num(seps)

@@ -164,3 +164,77 @@ def test_ola_sharded_over_mesh_equals_host_loop():
                         target=target, chunk_batch=4, mesh=mesh)
     assert host.shape == sharded.shape == (2, 12000)
     np.testing.assert_allclose(sharded, host, atol=2e-6)
+
+
+def test_ola_multiple_chunk_batches_with_pit_swap():
+    """A track long enough for several chunk batches, separated by a fake
+    model that permutes (and sign-flips, matching the reference's sign-fix
+    quirk) its two outputs on odd chunks: per-chunk swap_channel_order vs
+    the target must re-align every chunk, across batch boundaries
+    (reference process.py:105-123,154-194; VERDICT round-1 weak #5)."""
+    from fqss_tpu.separation.ola import ola_infer
+
+    rng = np.random.default_rng(7)
+    T, seg = 20000, 1600  # stride 1200 -> 17 chunks; chunk_batch=4 -> 5 batches
+    src = rng.standard_normal((2, T)).astype(np.float32)
+    mix = src.sum(axis=0, keepdims=True)
+    stride = seg - seg // 4
+
+    call_counter = {"next": 0}
+
+    def fake_model(x):
+        # maps each presented chunk (tracked by call order) to the true
+        # source chunks; odd chunks come back swapped AND negated — exactly
+        # what swap_channel_order's reference sign-fix undoes
+        x = np.asarray(x)
+        k = x.shape[0]
+        outs = np.zeros((k, 2, seg), np.float32)
+        for i in range(k):
+            ci = call_counter["next"] + i
+            off = ci * stride
+            if off >= T:  # padded tail rows of the last batch
+                continue
+            stop = min(off + seg, T)
+            chunk_src = np.zeros((2, seg), np.float32)
+            chunk_src[:, : stop - off] = src[:, off:stop]
+            outs[i] = chunk_src if ci % 2 == 0 else -chunk_src[::-1]
+        call_counter["next"] += k
+        return jnp.asarray(outs)
+
+    out = ola_infer(fake_model, mix, n_srcs=2, segment=seg, overlap=0.25, target=src, chunk_batch=4)
+    assert out.shape == (2, T)
+    err = np.abs(out - src).max()
+    assert err < 1e-4, f"PIT swap failed across chunk batches: max err {err}"
+
+    # control: without the target, odd chunks stay permuted/negated and the
+    # overlap-add mixes the sources -> large error
+    call_counter["next"] = 0
+    out_noswap = ola_infer(fake_model, mix, n_srcs=2, segment=seg, overlap=0.25, target=None, chunk_batch=4)
+    assert np.abs(out_noswap - src).max() > 0.1
+
+
+def test_ola_center_pad_tensorchunk_semantics():
+    """center_pad_to pads short chunks CENTERED with real mixture context
+    (demucs TensorChunk.padded, musdbhq_utils.py:86-111) and center-trims
+    the output; an identity model must still reconstruct exactly."""
+    from fqss_tpu.separation.ola import ola_infer
+
+    rng = np.random.default_rng(9)
+    T, seg = 5000, 1024
+    mix = rng.uniform(-1, 1, (1, T)).astype(np.float32)
+    seen = []
+
+    def apply_fn(x):  # [K, T'] -> [K, 1, T']
+        seen.append(np.asarray(x))
+        return jnp.asarray(x)[:, None, :]
+
+    out = ola_infer(apply_fn, mix, n_srcs=1, segment=seg, overlap=0.25, center_pad_to=seg)
+    assert out.shape == (1, T)
+    np.testing.assert_allclose(out[0], mix[0], atol=1e-5)
+
+    # the tail chunk (offset 4608, clen 392) must carry REAL left context,
+    # centered: delta = 1024-392 = 632, start = 4608-316 = 4292. Row 6 of the
+    # device batch (row 7 is the chunk_batch=8 zero-padding row).
+    tail = np.concatenate(seen, axis=0)[6]
+    np.testing.assert_allclose(tail[: 316 + 392], mix[0, 4292:5000], atol=0)
+    np.testing.assert_array_equal(tail[316 + 392:], 0)  # beyond track end
