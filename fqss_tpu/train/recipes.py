@@ -165,6 +165,23 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
 
     ckpt.close()
     logger.finish()
+
+    # speechbrain env: per-utterance test report after training
+    # (speechbrain_librimix_trainer.py:336-441 save_results -> test_results.csv)
+    testing_cfg = conf.get("testing_cfg", {})
+    if env_name == "speechbrain" and testing_cfg.get("test_dir") and os.path.isdir(testing_cfg["test_dir"]):
+        from fqss_tpu.train.validate import save_results
+
+        variables = {"params": jax.device_get(state.params)}
+        for coll in ("qparams", "qstats", "batch_stats"):
+            if getattr(state, coll):
+                variables[coll] = jax.device_get(getattr(state, coll))
+        avg = save_results(
+            model, variables, model_cfg, dataset_cfg, testing_cfg, work_dir,
+            limit=testing_cfg.get("limit"),
+        )
+        save_log(work_dir, f"test_results.csv avg: {avg}")
+
     return {"best_val_loss": best_val, "epochs_run": epoch + 1, "state": jax.device_get(state)}
 
 

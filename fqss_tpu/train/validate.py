@@ -90,3 +90,78 @@ def val_librimix(
                 )
             )
     return float(np.mean(sisdrs)), float(np.mean(sisdrs_imp)), float(np.mean(sdrs)), float(np.mean(stois))
+
+
+def save_results(
+    model,
+    variables: dict,
+    model_cfg: Mapping[str, Any],
+    dataset_cfg: Mapping[str, Any],
+    testing_cfg: Mapping[str, Any],
+    work_dir: str,
+    limit: int | None = None,
+    mesh=None,
+) -> dict:
+    """Per-utterance ``test_results.csv`` in the work dir.
+
+    The speechbrain env's test report (reference
+    speechbrain_librimix_trainer.py:336-441 ``save_results``): one row per
+    test sentence with columns snt_id, sdr, sdr_i, si-snr, si-snr_i (BSS-Eval
+    SDR over the full utterance, best-permutation SI-SNR, and both
+    improvements over the raw mixture), plus a final "avg" row. Returns the
+    averages as a dict.
+    """
+    import csv
+
+    from fqss_tpu.separation.bss_eval import bss_eval_images_framewise
+    from fqss_tpu.separation.metrics import si_snr_db
+
+    n_srcs = model_cfg.get("n_src", 1)
+    mix_files, src_files = read_librimix_files(
+        testing_cfg["test_dir"], n_srcs, dataset_cfg.get("noisy", False)
+    )
+    n = len(mix_files) if limit is None else min(limit, len(mix_files))
+    resample = dataset_cfg.get("resample", 1)
+    apply_fn = jax.jit(lambda x: model.apply(variables, x))
+
+    def _full_sdr(ests: np.ndarray, refs: np.ndarray) -> float:
+        # full-utterance single window == mir_eval bss_eval_sources usage
+        t = refs.shape[-1]
+        scores = bss_eval_images_framewise(refs, ests, window=t, filter_length=min(512, t))
+        return float(np.nanmean(scores["SDR"]))
+
+    save_file = os.path.join(work_dir, "test_results.csv")
+    cols = ["snt_id", "sdr", "sdr_i", "si-snr", "si-snr_i"]
+    sums = {k: [] for k in cols[1:]}
+    with open(save_file, "w", newline="") as fh:
+        writer = csv.DictWriter(fh, fieldnames=cols)
+        writer.writeheader()
+        for i in range(n):
+            mix_wav, fs = _resampled(mix_files[i], resample)
+            clean = np.stack([_resampled(files[i], resample)[0][0] for files in src_files])
+            wavs = ola_infer(
+                apply_fn, mix_wav, n_srcs=n_srcs,
+                segment=testing_cfg.get("segment_samples"),
+                overlap=testing_cfg.get("overlap", 0.25),
+                target=clean, mesh=mesh,
+            )[..., : clean.shape[-1]]
+            mix_stack = np.stack([mix_wav[0]] * n_srcs)
+            sisnr, _, _ = metric_evaluation(wavs, clean, sample_rate=fs, compute_stoi=False)
+            sisnr_base = float(np.mean(np.asarray(si_snr_db(jnp.asarray(mix_stack), jnp.asarray(clean)))))
+            sdr = _full_sdr(wavs, clean)
+            sdr_base = _full_sdr(mix_stack, clean)
+            row = {
+                "snt_id": os.path.basename(mix_files[i]),
+                "sdr": sdr,
+                "sdr_i": sdr - sdr_base,
+                "si-snr": sisnr,
+                "si-snr_i": sisnr - sisnr_base,
+            }
+            writer.writerow(row)
+            for k in sums:
+                sums[k].append(row[k])
+            if i % 500 == 0 and i > 0:
+                print("Mean SISNR is {:0.3f}".format(np.mean(sums["si-snr"])))
+        avg = {k: float(np.mean(v)) for k, v in sums.items()}
+        writer.writerow({"snt_id": "avg", **avg})
+    return avg

@@ -119,12 +119,48 @@ def bench_engine(q: QuantSpec, compute_dtype: str, use_pallas: bool, label: str,
     return dt
 
 
+def bench_train_step(n=8):
+    """Honest KD QAT train-step time (full-size ConvTasNet, batch 4 x 3s@8k,
+    student fwd + teacher fwd + loss + bwd + clipped Adam step) — replaces
+    the round-1 number that used the broken timing loop."""
+    import dataclasses
+
+    from fqss_tpu.quant import QuantSpec
+    from fqss_tpu.train import TrainConfig, create_train_state, make_optimizer, make_train_step
+
+    B, T = 4, 24000
+    q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
+    model = ConvTasNet(n_srcs=2, kernel_size=KERNEL, stride=STRIDE, q=q)
+    teacher = ConvTasNet(n_srcs=2, kernel_size=KERNEL, stride=STRIDE, q=QuantSpec())
+    x = jax.random.uniform(jax.random.PRNGKey(0), (B, T), minval=-1.0, maxval=1.0)
+    src = jax.random.uniform(jax.random.PRNGKey(1), (B, 2, T), minval=-1.0, maxval=1.0)
+    qvars = dict(model.init(jax.random.PRNGKey(2), x))
+    tvars = teacher.init(jax.random.PRNGKey(2), x)
+    cfg = TrainConfig(kd_lambda=0.1, lr=1e-3)
+    tx = make_optimizer(cfg)
+    state = create_train_state(qvars, tx, teacher_params=tvars["params"])
+    step = make_train_step(model, teacher, tx, cfg)
+
+    state, _ = step(state, x, src)  # compile
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, metrics = step(state, x + jnp.float32(i) * 1e-6, src)
+        np.asarray(jax.device_get(metrics["loss"]))  # host readback per step
+    dt = (time.perf_counter() - t0) / n
+    print(f"{'KD train step (B=4 x 3s)':36s} {dt*1e3:8.2f} ms", flush=True)
+    return dt
+
+
 def main():
     import dataclasses
 
     print(f"device: {jax.devices()}")
     if "--matmuls" in sys.argv:
         bench_matmuls()
+        return
+    if "--trainstep" in sys.argv:
+        bench_train_step()
         return
     q_float = QuantSpec(qat=False)
     q_qat = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)

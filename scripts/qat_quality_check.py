@@ -108,6 +108,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps-float", type=int, default=3000)
     ap.add_argument("--steps-qat", type=int, default=2500)
+    ap.add_argument("--qat-lr", type=float, default=1e-3)
     ap.add_argument("--task", choices=sorted(TASKS), default="band")
     ap.add_argument(
         "--internal-bits",
@@ -156,7 +157,7 @@ def main():
     from fqss_tpu.models.factory import merge_float_params
 
     qvars["params"] = merge_float_params(qvars["params"], fvars_trained["params"], 2)
-    cfg_q = TrainConfig(kd_lambda=0.1, lr=5e-4)
+    cfg_q = TrainConfig(kd_lambda=0.1, lr=args.qat_lr)
     qvars_trained, _ = train(qmodel, fmodel, qvars, fvars_trained["params"], cfg_q, args.steps_qat, seed=2)
     qat_sisdr = eval_sisdr(qmodel, qvars_trained)
     print(f"FQSS-8bit SI-SDR: {qat_sisdr:.2f} dB")
@@ -179,7 +180,7 @@ def main():
     vmodel = ConvTasNet(q=qv, **ARCH)
     vvars = dict(vmodel.init(jax.random.PRNGKey(0), x0))
     vvars["params"] = merge_float_params(vvars["params"], fvars_trained["params"], 1)
-    vvars_trained, _ = train(vmodel, fmodel, vvars, None, TrainConfig(kd_lambda=0.0, lr=5e-4), args.steps_qat, seed=2)
+    vvars_trained, _ = train(vmodel, fmodel, vvars, None, TrainConfig(kd_lambda=0.0, lr=args.qat_lr), args.steps_qat, seed=2)
     vanilla_sisdr = eval_sisdr(vmodel, vvars_trained)
     print(f"vanilla-8bit SI-SDR: {vanilla_sisdr:.2f} dB")
 

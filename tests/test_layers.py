@@ -197,3 +197,29 @@ def test_mac_accounting(rng):
     lo = (50 + 2 * 1 - (3 - 1) - 1) // 2 + 1
     want = 2 * 6 * 8 * lo * 3  # B*Ci*Co*Lo*k (qat_layers.py:148-153)
     assert int(aux[MACS]["mac_op"][0]) == want
+
+
+def test_compute_dtype_bf16_close_to_f32():
+    """QuantSpec.compute_dtype='bfloat16' casts MXU operands only: outputs
+    stay f32 and match the f32 path to bf16 rounding tolerance."""
+    import dataclasses
+
+    import jax
+
+    from fqss_tpu.models import ConvTasNet
+
+    arch = dict(n_srcs=2, kernel_size=16, stride=8, n_filters=32, bn_chan=8,
+                hid_chan=16, n_blocks=2, n_repeats=1)
+    q32 = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
+    qbf = dataclasses.replace(q32, compute_dtype="bfloat16")
+    m32, mbf = ConvTasNet(q=q32, **arch), ConvTasNet(q=qbf, **arch)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3200), minval=-1.0, maxval=1.0)
+    v = m32.init(jax.random.PRNGKey(1), x)
+    y32 = m32.apply(v, x)
+    ybf = mbf.apply(v, x)
+    assert ybf.dtype == jnp.float32
+    assert y32.shape == ybf.shape
+    # requant clamps bf16 drift to the 8-bit grids: outputs differ by at most
+    # a few output-grid steps
+    denom = float(jnp.abs(y32).max()) + 1e-9
+    assert float(jnp.abs(ybf - y32).mean()) / denom < 0.05
