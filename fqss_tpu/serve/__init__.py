@@ -9,5 +9,6 @@ the fake-quant forward while hitting the v5e's double-rate int8 MXU path.
 """
 
 from fqss_tpu.serve.convtasnet_int8 import ConvTasNetInt8Engine
+from fqss_tpu.serve.fold import fold_quantized_weights
 
-__all__ = ["ConvTasNetInt8Engine"]
+__all__ = ["ConvTasNetInt8Engine", "fold_quantized_weights"]

@@ -1,0 +1,68 @@
+"""Serving weight-fold: pre-applying weight fake-quant == per-forward fq.
+
+fold_quantized_weights must leave the forward bitwise unchanged for every
+model family's layer kinds (convs, dense, LSTM, MHA weight quantizers).
+"""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fqss_tpu.models import ConvTasNet
+from fqss_tpu.quant import QuantSpec
+from fqss_tpu.serve import fold_quantized_weights
+
+ARCH = dict(n_srcs=2, kernel_size=16, stride=8, n_filters=32, bn_chan=8, hid_chan=16, n_blocks=2, n_repeats=1)
+
+
+def _ranged(q, x):
+    obs = ConvTasNet(q=dataclasses.replace(q, observer=True), **ARCH)
+    var = dict(obs.init(jax.random.PRNGKey(0), x))
+    for _ in range(55):
+        _, upd = obs.apply(var, x, mutable=["qparams", "qstats"])
+        var = {**var, **upd}
+    return var
+
+
+def test_fold_weights_convtasnet_bitwise():
+    q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
+    model = ConvTasNet(q=q, **ARCH)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, 3200), minval=-1.0, maxval=1.0)
+    var = _ranged(q, x)
+    y_ref = model.apply(var, x)
+
+    smodel, svar = fold_quantized_weights(model, var)
+    assert smodel.q.weight_quant is False
+    y = smodel.apply(svar, x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+
+
+def test_fold_weights_lstm_attention_bitwise():
+    import flax.linen as nn
+
+    from fqss_tpu.nn.attention import QMultiheadAttention
+    from fqss_tpu.nn.lstm import QLSTM
+
+    class Tiny(nn.Module):
+        q: QuantSpec
+
+        @nn.compact
+        def __call__(self, x):
+            h = QLSTM(hidden_size=16, bidirectional=True, q=self.q, name="lstm")(x)
+            return QMultiheadAttention(embed_dim=32, num_heads=4, q=self.q, name="mha")(h, h, h)
+
+    q = QuantSpec(qat=True, observer=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 20, 24))
+    obs = Tiny(q=dataclasses.replace(q, observer=True))
+    var = dict(obs.init(jax.random.PRNGKey(1), x))
+    for _ in range(55):
+        _, upd = obs.apply(var, x, mutable=["qparams", "qstats"])
+        var = {**var, **upd}
+    model = Tiny(q=q)
+    y_ref = model.apply(var, x)
+    smodel, svar = fold_quantized_weights(model, var)
+    y = smodel.apply(svar, x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
