@@ -154,3 +154,35 @@ def test_engine_single_combiner():
     assert float(jnp.max(diff)) <= 10.0 * lsb
     assert float(jnp.mean(diff)) <= 1.5 * lsb
     assert _snr_db(y_ref, y) >= snr_self - 3.0
+
+
+@pytest.mark.slow
+def test_music_engine_agrees_at_grid_noise_floor():
+    from fqss_tpu.models.convtasnet_music import ConvTasNetMusic
+    from fqss_tpu.serve.convtasnet_music_int8 import ConvTasNetMusicInt8Engine
+
+    arch = dict(sources=("a", "b"), audio_channels=2, n_filters=32, kernel_size=20,
+                stride=10, bn_chan=24, hid_chan=40, conv_kernel=3, n_blocks=2, n_repeats=2)
+    q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
+    model = ConvTasNetMusic(q=q, **arch)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, 2, 3000), minval=-0.9, maxval=0.9)
+
+    q_obs = dataclasses.replace(q, observer=True)
+    obs_model = ConvTasNetMusic(q=q_obs, **arch)
+    var = dict(obs_model.init(jax.random.PRNGKey(0), x))
+    for _ in range(60):
+        _, upd = obs_model.apply(var, x, mutable=["qparams", "qstats"])
+        var = {**var, **upd}
+
+    y_ref = jax.jit(model.apply)(var, x)
+    snr_self = _snr_db(y_ref, model.apply(var, x))
+    engine = ConvTasNetMusicInt8Engine(model, var, compute_dtype="float32")
+    y = engine(x)
+    assert y.shape == y_ref.shape
+    qp = var["qparams"]["decoder"]["activation_fake_quantize"]
+    lsb = (float(np.asarray(qp["max_range"]).reshape(-1)[0]) - float(np.asarray(qp["min_range"]).reshape(-1)[0])) / 255.0
+    diff = jnp.abs(y - y_ref)
+    assert float(jnp.max(diff)) <= 10.0 * lsb, f"{float(jnp.max(diff)):.3e} vs lsb {lsb:.3e}"
+    assert float(jnp.mean(diff)) <= 1.5 * lsb
+    snr = _snr_db(y_ref, y)
+    assert snr >= snr_self - 3.0, f"music engine SNR {snr:.1f} vs self {snr_self:.1f}"
