@@ -13,9 +13,12 @@ reference PyTorch model running the same workload on this host's CPU
 Timing methodology (IMPORTANT): through the axon TPU tunnel,
 jax.block_until_ready does not reliably wait for device execution and
 identical repeat dispatches can be served from a cache, which inflates naive
-timing loops by orders of magnitude. Honest timing here (a) varies an input
-scalar per call so no two dispatches are identical and (b) fetches a value
-derived from each output back to the host before the clock stops.
+timing loops by orders of magnitude; separately, every synchronized call
+pays a ~250 ms tunnel round-trip latency regardless of program. Honest
+THROUGHPUT timing therefore (a) varies an input scalar per call so no two
+dispatches are identical, (b) dispatches all iterations then fetches a
+slice of EVERY output before the clock stops — the serving-pipeline
+pattern, overlapping the tunnel latency with device execution.
 """
 
 from __future__ import annotations
@@ -53,16 +56,13 @@ def bench_tpu() -> float:
     variables = model.init(jax.random.PRNGKey(1), x)
     fwd = jax.jit(lambda v, x, tick: model.apply(v, x + tick * 1e-6))
 
-    def run(tick):
-        y = fwd(variables, x, jnp.float32(tick))
-        # host readback of a slice forces real completion through the tunnel
-        return np.asarray(jax.device_get(y[0, 0, :1]))
-
-    run(-1.0)  # compile + warm
-    n_iter = 10
+    # compile + warm (readback forces real completion through the tunnel)
+    np.asarray(jax.device_get(fwd(variables, x, jnp.float32(-1.0))[0, 0, :1]))
+    n_iter = 20
     t0 = time.perf_counter()
-    for i in range(n_iter):
-        run(float(i))
+    outs = [fwd(variables, x, jnp.float32(i))[0, 0, :1] for i in range(n_iter)]
+    for o in outs:
+        np.asarray(jax.device_get(o))
     dt = time.perf_counter() - t0
     return n_iter * BATCH * SEG / 8000.0 / dt  # sec-of-audio / sec
 

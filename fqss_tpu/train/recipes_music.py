@@ -21,6 +21,7 @@ training_cfg/testing_cfg).
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Any, Mapping
@@ -136,7 +137,9 @@ def make_music_train_step(
         loss = music_kd_l1_loss(wavs, fwavs, sources, cfg.kd_lambda, weight_kind)
         return loss, mutated
 
-    @jax.jit
+    # Donate state + EMAs (see trainer.py train_step: avoids per-step
+    # re-materialization of the full state through the TPU tunnel).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(state: TrainState, batch_emas: tuple, sources: Array, rng: Array):
         (loss, mutated), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             state.trainable, state, sources, rng

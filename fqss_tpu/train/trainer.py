@@ -25,6 +25,7 @@ DDP only all-reduces gradients).
 
 from __future__ import annotations
 
+import functools
 import dataclasses
 from functools import partial
 from typing import Any, Callable
@@ -146,7 +147,12 @@ def make_train_step(
         loss, kd_loss = loss_fn(est, fest, targets)
         return loss, (kd_loss, mutated)
 
-    @jax.jit
+    # Donate the state: the step consumes it, so its buffers are reused for
+    # the new state in place. Besides the usual memory saving, through this
+    # environment's TPU tunnel non-donated multi-hundred-MB state outputs
+    # are re-materialized per step at ~1000x the compute cost (measured:
+    # 38 s/step full-size without donation). No-op on the CPU test backend.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, mix: Array, targets: Array):
         grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
         (loss, (kd_loss, mutated)), grads = grad_fn(state.trainable, state, mix, targets)

@@ -18,6 +18,14 @@ def argument_handler():
     parser.add_argument("--output_dir", "-o", type=str, default=None, help="Output directory")
     parser.add_argument("--normalize", action="store_true", help="Peak-normalize the input")
     parser.add_argument("--use_cpu", action="store_true", help="Use cpu")
+    parser.add_argument(
+        "--engine",
+        choices=["fake_quant", "folded", "int8"],
+        default="fake_quant",
+        help="Serving path: per-forward fake-quant (reference semantics), "
+        "weight-folded fake-quant (bitwise identical, weights pre-quantized), "
+        "or the int8 MXU engine (ConvTasNet families).",
+    )
     return parser.parse_args()
 
 
@@ -52,7 +60,25 @@ def infer():
     segment = testing_cfg.get("segment_samples")
     example = jnp.zeros((1, int(segment or wav.shape[-1])), jnp.float32)
     model, variables = create_pretrained_model(model_cfg, example, observer=False)
-    apply_fn = jax.jit(lambda x: model.apply(variables, x))
+    if args.engine == "int8":
+        from fqss_tpu.models.convtasnet import ConvTasNet
+        from fqss_tpu.models.convtasnet_music import ConvTasNetMusic
+        from fqss_tpu.serve import ConvTasNetInt8Engine
+        from fqss_tpu.serve.convtasnet_music_int8 import ConvTasNetMusicInt8Engine
+
+        if isinstance(model, ConvTasNet):
+            apply_fn = ConvTasNetInt8Engine(model, variables)
+        elif isinstance(model, ConvTasNetMusic):
+            apply_fn = ConvTasNetMusicInt8Engine(model, variables)
+        else:
+            raise SystemExit("--engine int8 supports the ConvTasNet families; use --engine folded")
+    elif args.engine == "folded":
+        from fqss_tpu.serve import fold_quantized_weights
+
+        smodel, svars = fold_quantized_weights(model, variables)
+        apply_fn = jax.jit(lambda x: smodel.apply(svars, x))
+    else:
+        apply_fn = jax.jit(lambda x: model.apply(variables, x))
 
     out = ola_infer(apply_fn, wav, n_srcs=n_srcs, segment=segment,
                     overlap=testing_cfg.get("overlap", 0.25))

@@ -29,10 +29,10 @@ Q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=Tr
 # (name, builder kwargs, batch, seconds, sample_rate, stereo)
 CASES = {
     "convtasnet": dict(batch=32, seconds=12.0, sr=8000, stereo=False),
-    "dptnet": dict(batch=16, seconds=4.0, sr=8000, stereo=False),
-    "sepformer": dict(batch=16, seconds=4.0, sr=8000, stereo=False),
-    "convtasnet_music": dict(batch=4, seconds=4.0, sr=44100, stereo=True),
-    "htdemucs": dict(batch=4, seconds=6.0, sr=44100, stereo=True),
+    "dptnet": dict(batch=4, seconds=4.0, sr=8000, stereo=False),
+    "sepformer": dict(batch=8, seconds=4.0, sr=8000, stereo=False),
+    "convtasnet_music": dict(batch=2, seconds=4.0, sr=44100, stereo=True),
+    "htdemucs": dict(batch=2, seconds=6.0, sr=44100, stereo=True),
 }
 
 
@@ -61,11 +61,14 @@ def build(name: str, q: QuantSpec):
 
 
 def timeit(fn, *args, n=10):
-    np.asarray(jax.device_get(jax.tree_util.tree_leaves(fn(*args, jnp.float32(-1.0)))[0].ravel()[:1]))
+    """Pipelined throughput timing (see bench.py): vary an input per call,
+    dispatch all n, then fetch a slice of every output."""
+    slc = lambda out: jax.tree_util.tree_leaves(out)[0].ravel()[:1]
+    np.asarray(jax.device_get(slc(fn(*args, jnp.float32(-1.0)))))
     t0 = time.perf_counter()
-    for i in range(n):
-        out = fn(*args, jnp.float32(i))
-        np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[:1]))
+    outs = [slc(fn(*args, jnp.float32(i))) for i in range(n)]
+    for o in outs:
+        np.asarray(jax.device_get(o))
     return (time.perf_counter() - t0) / n
 
 

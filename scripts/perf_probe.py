@@ -29,22 +29,32 @@ KERNEL, STRIDE = 16, 8
 import numpy as np
 
 
-def timeit(fn, *args, n=30):
-    """Time fn(*args, tick) with a distinct scalar tick per call AND a host
-    readback per call.
+def timeit(fn, *args, n=30, pipelined=True):
+    """Honest timing through the axon TPU tunnel.
 
-    Through the axon TPU tunnel, block_until_ready does not reliably wait for
-    execution and repeated identical (executable, inputs) dispatches can be
-    served from a cache — so honest timing must (a) vary an input per call
-    and (b) fetch a value derived from the output to the host.
+    Two tunnel pathologies shape this: (a) repeated identical (executable,
+    inputs) dispatches can be served without re-execution, so every call gets
+    a distinct `tick` folded into its inputs; (b) block_until_ready is
+    unreliable, so completion is forced by fetching a slice of each output.
+
+    pipelined=True (default; the serving/training-loop pattern): dispatch all
+    n calls, then fetch a slice of every output — per-call dispatch/sync
+    latency (~250 ms through this tunnel regardless of program!) overlaps
+    with device execution, so this measures THROUGHPUT.
+    pipelined=False: fetch after every call — measures per-call LATENCY
+    including the tunnel round trip.
     """
-    np.asarray(jax.device_get(fn(*args, jnp.float32(-1.0))))  # warm/compile
+    np.asarray(jax.device_get(jax.tree_util.tree_leaves(fn(*args, jnp.float32(-1.0)))[0].ravel()[:1]))
     ticks = [jnp.float32(i) for i in range(n)]
+    slc = lambda out: jax.tree_util.tree_leaves(out)[0].ravel()[:1]
     t0 = time.perf_counter()
-    for t in ticks:
-        out = fn(*args, t)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(jax.device_get(leaf.ravel()[:1]))
+    if pipelined:
+        outs = [slc(fn(*args, t)) for t in ticks]
+        for o in outs:
+            np.asarray(jax.device_get(o))
+    else:
+        for t in ticks:
+            np.asarray(jax.device_get(slc(fn(*args, t))))
     return (time.perf_counter() - t0) / n
 
 
@@ -129,9 +139,13 @@ def bench_train_step(n=8):
     from fqss_tpu.train import TrainConfig, create_train_state, make_optimizer, make_train_step
 
     B, T = 4, 24000
+    arch = {}
+    for a in sys.argv:
+        if a.startswith("--blocks="):
+            arch = dict(n_blocks=int(a.split("=")[1]), n_repeats=1)
     q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
-    model = ConvTasNet(n_srcs=2, kernel_size=KERNEL, stride=STRIDE, q=q)
-    teacher = ConvTasNet(n_srcs=2, kernel_size=KERNEL, stride=STRIDE, q=QuantSpec())
+    model = ConvTasNet(n_srcs=2, kernel_size=KERNEL, stride=STRIDE, q=q, **arch)
+    teacher = ConvTasNet(n_srcs=2, kernel_size=KERNEL, stride=STRIDE, q=QuantSpec(), **arch)
     x = jax.random.uniform(jax.random.PRNGKey(0), (B, T), minval=-1.0, maxval=1.0)
     src = jax.random.uniform(jax.random.PRNGKey(1), (B, 2, T), minval=-1.0, maxval=1.0)
     qvars = dict(model.init(jax.random.PRNGKey(2), x))
@@ -141,15 +155,78 @@ def bench_train_step(n=8):
     state = create_train_state(qvars, tx, teacher_params=tvars["params"])
     step = make_train_step(model, teacher, tx, cfg)
 
-    state, _ = step(state, x, src)  # compile
-    jax.block_until_ready(state.params)
+    state, m0 = step(state, x, src)  # compile
+    np.asarray(jax.device_get(m0["loss"]))
+    # Training-loop pattern: steps chain through the donated state (true
+    # data dependency -> no overlap between steps on device), losses are
+    # fetched once at the end — per-call tunnel sync latency overlaps.
+    n = 20
+    losses = []
     t0 = time.perf_counter()
     for i in range(n):
         state, metrics = step(state, x + jnp.float32(i) * 1e-6, src)
-        np.asarray(jax.device_get(metrics["loss"]))  # host readback per step
+        losses.append(metrics["loss"])
+    for l in losses:
+        np.asarray(jax.device_get(l))
     dt = (time.perf_counter() - t0) / n
     print(f"{'KD train step (B=4 x 3s)':36s} {dt*1e3:8.2f} ms", flush=True)
     return dt
+
+
+def bench_grad_probe(n=5):
+    """Split the train-step cost: forward-only vs plain-grad vs KD grad."""
+    from fqss_tpu.quant import QuantSpec
+
+    B, T = 4, 24000
+    q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
+    model = ConvTasNet(n_srcs=2, kernel_size=KERNEL, stride=STRIDE, q=q)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (B, T), minval=-1.0, maxval=1.0)
+    variables = dict(model.init(jax.random.PRNGKey(1), x))
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+
+    fwd = jax.jit(lambda p, x, tick: model.apply({"params": p, **rest}, x + tick * 1e-6))
+    dt = timeit(fwd, params, x, n=n)
+    print(f"{'fwd only (B=4 x 3s)':36s} {dt*1e3:8.2f} ms", flush=True)
+
+    def loss(p, x):
+        return jnp.sum(jnp.abs(model.apply({"params": p, **rest}, x)))
+
+    g = jax.jit(lambda p, x, tick: jax.grad(loss)(p, x + tick * 1e-6))
+    dt = timeit(g, params, x, n=n)
+    print(f"{'grad(params) only':36s} {dt*1e3:8.2f} ms", flush=True)
+
+
+def bench_state_cost(n=6):
+    """Isolate the tunnel's per-step cost of threading a large train state:
+    a donated jit that only adds 1e-6 to every leaf (zero real compute)."""
+    import dataclasses
+    import functools
+
+    from fqss_tpu.quant import QuantSpec
+    from fqss_tpu.train import TrainConfig, create_train_state, make_optimizer
+
+    q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
+    model = ConvTasNet(n_srcs=2, kernel_size=KERNEL, stride=STRIDE, q=q)
+    x = jnp.zeros((1, 8000))
+    qvars = dict(model.init(jax.random.PRNGKey(2), x))
+    tx = make_optimizer(TrainConfig())
+    state = create_train_state(qvars, tx, teacher_params=qvars["params"])
+    n_bytes = sum(a.size * a.dtype.itemsize for a in jax.tree_util.tree_leaves(state))
+    print(f"state bytes: {n_bytes/1e6:.1f} MB, leaves: {len(jax.tree_util.tree_leaves(state))}")
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def touch(s, tick):
+        return jax.tree_util.tree_map(lambda a: a + jnp.asarray(tick, a.dtype) * 0, s)
+
+    state = touch(state, jnp.float32(-1.0))
+    np.asarray(jax.device_get(state.step))
+    t0 = time.perf_counter()
+    for i in range(n):
+        state = touch(state, jnp.float32(i))
+        np.asarray(jax.device_get(state.step))
+    dt = (time.perf_counter() - t0) / n
+    print(f"{'state-only donated step':36s} {dt*1e3:8.2f} ms", flush=True)
 
 
 def main():
@@ -161,6 +238,12 @@ def main():
         return
     if "--trainstep" in sys.argv:
         bench_train_step()
+        return
+    if "--statecost" in sys.argv:
+        bench_state_cost()
+        return
+    if "--gradprobe" in sys.argv:
+        bench_grad_probe()
         return
     q_float = QuantSpec(qat=False)
     q_qat = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
