@@ -98,12 +98,15 @@ def make_train_step(
     tx: optax.GradientTransformation,
     cfg: TrainConfig,
     loss_fn: Callable | None = None,
+    donate: bool = True,
 ) -> Callable[[TrainState, Array, Array], tuple[TrainState, dict]]:
     """Build the jitted KD train step.
 
     model/teacher: flax modules mapping [B, T] mixtures -> [B, S, T'].
     loss_fn(est, fest, targets) -> (loss, kd_loss); defaults to the FQSS
     speech KD loss. Returned step: (state, mix, targets) -> (state, metrics).
+    ``donate=False`` keeps the input state alive (for callers that step the
+    same state more than once, e.g. equivalence tests).
     """
     if loss_fn is None:
         loss_fn = partial(fqss_kd_loss, kd_lambda=cfg.kd_lambda)
@@ -152,7 +155,7 @@ def make_train_step(
     # environment's TPU tunnel non-donated multi-hundred-MB state outputs
     # are re-materialized per step at ~1000x the compute cost (measured:
     # 38 s/step full-size without donation). No-op on the CPU test backend.
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, mix: Array, targets: Array):
         grad_fn = jax.value_and_grad(compute_loss, has_aux=True)
         (loss, (kd_loss, mutated)), grads = grad_fn(state.trainable, state, mix, targets)

@@ -95,7 +95,8 @@ def test_dp_mesh_step_matches_single_device():
     rng = np.random.default_rng(3)
     mix, src = synth_batch(rng, batch=8, n_src=2, length=2000)
     state, tx = _init_state(model, teacher, cfg, jnp.asarray(mix))
-    step = make_train_step(model, teacher, tx, cfg)
+    # donate=False: this test steps the SAME state on two device layouts
+    step = make_train_step(model, teacher, tx, cfg, donate=False)
 
     # single device
     s1, m1 = step(state, jnp.asarray(mix), jnp.asarray(src))
@@ -190,7 +191,8 @@ def test_threshold_byloss_applies_under_kd():
 
     cfg = TrainConfig(kd_lambda=0.1, lr=1e-3, threshold_byloss=True, threshold=th)
     tx = make_optimizer(cfg)
-    step = make_train_step(model, teacher, tx, cfg)
+    # donate=False: the same state is stepped again below
+    step = make_train_step(model, teacher, tx, cfg, donate=False)
     _, m = step(state, mixj, srcj)
     # in-step forward differs from the standalone one by f32 fusion noise
     # (~1e-3 rel) — assert the filtered mean, not the plain mean, was used
@@ -199,6 +201,6 @@ def test_threshold_byloss_applies_under_kd():
 
     # threshold above every sample: reference falls back to the plain mean
     cfg_hi = TrainConfig(kd_lambda=0.1, lr=1e-3, threshold_byloss=True, threshold=float(per.max() + 1))
-    step_hi = make_train_step(model, teacher, make_optimizer(cfg_hi), cfg_hi)
+    step_hi = make_train_step(model, teacher, make_optimizer(cfg_hi), cfg_hi, donate=False)
     _, m_hi = step_hi(state, mixj, srcj)
     np.testing.assert_allclose(float(m_hi["loss"]), per.mean(), rtol=2e-3)
