@@ -195,6 +195,8 @@ class ConvTasNetInt8Engine:
         q = model.q
         if not (q.qat and q.act_quant and q.weight_quant):
             raise ValueError("int8 engine requires a fully fake-quantized model")
+        if q.act_n_bits != 8 or q.weight_n_bits != 8 or q.out_act_n_bits != 8:
+            raise NotImplementedError("the int8 engine maps 8-bit grids onto s8 hardware")
 
         P: dict[str, Any] = {}
         G: dict[str, _Grid] = {}
