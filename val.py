@@ -15,6 +15,13 @@ def argument_handler():
     parser.add_argument("--use_cpu", action="store_true", help="Use cpu")
     parser.add_argument("--limit", type=int, default=None, help="Evaluate at most N items")
     parser.add_argument("--no-stoi", action="store_true", help="Skip STOI (slow on host)")
+    parser.add_argument(
+        "--engine",
+        choices=["fake_quant", "folded"],
+        default="fake_quant",
+        help="Serving path: per-forward fake-quant, or weight-folded (bitwise "
+        "identical, weight quantizers pre-applied at load).",
+    )
     return parser.parse_args()
 
 
@@ -45,6 +52,11 @@ def val():
     assert not (not qat and (model.q.n_splitter > 1 or model.q.n_combiner > 1)), (
         "No support for splitter/combiner with non QAT model."
     )
+
+    if args.engine == "folded":
+        from fqss_tpu.serve import fold_quantized_weights
+
+        model, variables = fold_quantized_weights(model, variables)
 
     if dataset_cfg["name"] == "librimix":
         from fqss_tpu.train.validate import val_librimix
