@@ -197,6 +197,10 @@ class ConvTasNetInt8Engine:
             raise ValueError("int8 engine requires a fully fake-quantized model")
         if q.act_n_bits != 8 or q.weight_n_bits != 8 or q.out_act_n_bits != 8:
             raise NotImplementedError("the int8 engine maps 8-bit grids onto s8 hardware")
+        if q.in_quant and (q.in_act_n_bits != 8 or q.inout_nl_quant):
+            raise NotImplementedError(
+                "the int8 engine's input requant assumes a linear 8-bit input grid"
+            )
 
         P: dict[str, Any] = {}
         G: dict[str, _Grid] = {}
@@ -267,7 +271,8 @@ class ConvTasNetInt8Engine:
         # ---- decoder (+ combiner residual block)
         dp, dq = p["decoder"], qp["decoder"]
         P["dec_kernel"] = _dequant_weight(dp["kernel"], dq.get("weight_fake_quantize"), ch_axis=2)
-        G["dec_out"] = _act_grid(dq["activation_fake_quantize"], q.out_act_n_bits)
+        if q.out_quant:
+            G["dec_out"] = _act_grid(dq["activation_fake_quantize"], q.out_act_n_bits)
         if q.n_combiner > 1:
             rq = dq["residual_error_block"]
             rp = dp["residual_error_block"]
@@ -278,7 +283,8 @@ class ConvTasNetInt8Engine:
                 np.asarray(rp["residual_encoder"]["bias"], np.float32) if "bias" in rp["residual_encoder"] else None
             )
             G["re_latent"] = _act_grid(rq["activation_fake_quantize"])
-            G["dec_res_out"] = _act_grid(dq["activation_fake_quantize_residual"], q.out_act_n_bits)
+            if q.out_quant:
+                G["dec_res_out"] = _act_grid(dq["activation_fake_quantize_residual"], q.out_act_n_bits)
             if q.train_res_dec:
                 P["res_dec_kernel"] = _dequant_weight(
                     rp["residual_decoder_kernel"], rq.get("weight_fake_quantize_dec"), ch_axis=2

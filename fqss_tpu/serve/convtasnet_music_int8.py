@@ -52,6 +52,10 @@ class ConvTasNetMusicInt8Engine:
             raise ValueError("int8 engine requires a fully fake-quantized model")
         if q.act_n_bits != 8 or q.weight_n_bits != 8 or q.out_act_n_bits != 8:
             raise NotImplementedError("the int8 engine maps 8-bit grids onto s8 hardware")
+        if q.in_quant and (q.in_act_n_bits != 8 or q.inout_nl_quant):
+            raise NotImplementedError(
+                "the int8 engine's input requant assumes a linear 8-bit input grid"
+            )
         p = jax.device_get(variables["params"])
         qp = jax.device_get(variables["qparams"])
 

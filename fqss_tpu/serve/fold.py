@@ -22,7 +22,9 @@ from fqss_tpu.quant.fake_quant import linear_fake_quant
 # weight-quantizer scope names used across the layer library -> the param
 # they quantize inside the PARENT scope.
 _WQ_TO_PARAM = {
-    "weight_fake_quantize": ("kernel", "embedding"),
+    # residual_encoder_kernel: _ResidualErrorBlockDense names its quantizer
+    # "weight_fake_quantize" on that param (nn/io_layers.py:271-272).
+    "weight_fake_quantize": ("kernel", "embedding", "residual_encoder_kernel"),
     "weight_fake_quantize_in": ("in_proj_kernel",),
     "weight_fake_quantize_out": ("out_proj_kernel",),
     "weight_fake_quantize_dec": ("residual_decoder_kernel",),

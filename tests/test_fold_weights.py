@@ -40,6 +40,35 @@ def test_fold_weights_convtasnet_bitwise():
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
 
 
+def test_fold_weights_music_linear_decoder_bitwise():
+    """QLinearDecoder with n_combiner=2: the Dense combiner's
+    residual_encoder_kernel (quantizer scope 'weight_fake_quantize',
+    nn/io_layers.py:271-272) must be folded too — a fold that skips it
+    serves an unquantized weight once weight_quant is disabled."""
+    from fqss_tpu.models.convtasnet_music import ConvTasNetMusic
+
+    arch = dict(sources=("a", "b"), audio_channels=2, n_filters=16, kernel_size=20,
+                stride=10, bn_chan=8, hid_chan=16, conv_kernel=3, n_blocks=2, n_repeats=1)
+    q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
+    model = ConvTasNetMusic(q=q, **arch)
+    x = jax.random.uniform(jax.random.PRNGKey(5), (2, 2, 2000), minval=-0.9, maxval=0.9)
+
+    obs = ConvTasNetMusic(q=dataclasses.replace(q, observer=True), **arch)
+    var = dict(obs.init(jax.random.PRNGKey(0), x))
+    for _ in range(55):
+        _, upd = obs.apply(var, x, mutable=["qparams", "qstats"])
+        var = {**var, **upd}
+    y_ref = model.apply(var, x)
+
+    smodel, svar = fold_quantized_weights(model, var)
+    # the residual-encoder weight must actually change (it is quantized)
+    w0 = np.asarray(var["params"]["decoder"]["residual_error_block"]["residual_encoder_kernel"])
+    w1 = np.asarray(svar["params"]["decoder"]["residual_error_block"]["residual_encoder_kernel"])
+    assert not np.array_equal(w0, w1), "fold left residual_encoder_kernel untouched"
+    y = smodel.apply(svar, x)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
+
+
 def test_fold_weights_lstm_attention_bitwise():
     import flax.linen as nn
 

@@ -186,3 +186,52 @@ def test_music_engine_agrees_at_grid_noise_floor():
     assert float(jnp.mean(diff)) <= 1.5 * lsb
     snr = _snr_db(y_ref, y)
     assert snr >= snr_self - 3.0, f"music engine SNR {snr:.1f} vs self {snr_self:.1f}"
+
+
+def test_engine_guards_non8bit_input_grid():
+    """in_quant with a non-8-bit or mu-law input quantizer must be refused:
+    _requant clips to [0,255] and assumes a linear grid (advisor r2 #2)."""
+    import dataclasses as dc
+
+    for bad in (
+        dict(in_quant=True, in_act_n_bits=16),
+        dict(in_quant=True, inout_nl_quant=True),
+    ):
+        q = QuantSpec(qat=True, observer=False, out_quant=True, **bad)
+        model = ConvTasNet(q=q, **ARCH)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 2400), minval=-1.0, maxval=1.0)
+        var = _ranged_variables(q, x)
+        with pytest.raises(NotImplementedError):
+            ConvTasNetInt8Engine(model, var)
+
+    from fqss_tpu.models.convtasnet_music import ConvTasNetMusic
+    from fqss_tpu.serve.convtasnet_music_int8 import ConvTasNetMusicInt8Engine
+
+    arch = dict(sources=("a", "b"), audio_channels=2, n_filters=16, kernel_size=20,
+                stride=10, bn_chan=8, hid_chan=16, conv_kernel=3, n_blocks=1, n_repeats=1)
+    q = QuantSpec(qat=True, observer=False, out_quant=True, in_quant=True, in_act_n_bits=16)
+    model = ConvTasNetMusic(q=q, **arch)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (1, 2, 2000), minval=-0.9, maxval=0.9)
+    obs = ConvTasNetMusic(q=dc.replace(q, observer=True), **arch)
+    var = dict(obs.init(jax.random.PRNGKey(0), x))
+    for _ in range(55):
+        _, upd = obs.apply(var, x, mutable=["qparams", "qstats"])
+        var = {**var, **upd}
+    with pytest.raises(NotImplementedError):
+        ConvTasNetMusicInt8Engine(model, var)
+
+
+def test_engine_constructs_without_out_quant():
+    """out_quant=False checkpoints have no decoder activation quantizer;
+    engine construction must not KeyError (advisor r2 #3)."""
+    q = QuantSpec(qat=True, observer=False, out_quant=False)
+    model = ConvTasNet(q=q, **ARCH)
+    x = jax.random.uniform(jax.random.PRNGKey(7), (1, 2400), minval=-1.0, maxval=1.0)
+    var = _ranged_variables(q, x)
+    y_ref = jax.jit(model.apply)(var, x)
+    engine = ConvTasNetInt8Engine(model, var, compute_dtype="float32")
+    y = engine(x)
+    assert y.shape == y_ref.shape
+    # without the output re-snap, internal one-LSB requant flips reach the
+    # output directly; require solid agreement, not the grid noise floor
+    assert _snr_db(y_ref, y) >= 20.0
