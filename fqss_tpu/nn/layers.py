@@ -83,7 +83,8 @@ def make_act_quantizer(
         return ActQuantizer(n_bits=bits, kind="mulaw", gradient_based=q.gradient_based, observer=q.observer, name=name)
     if q.act_quantizer == "mse":
         return MseActQuantizer(n_bits=bits, gradient_based=q.gradient_based, observer=q.observer, name=name)
-    return ActQuantizer(n_bits=bits, gradient_based=q.gradient_based, observer=q.observer, name=name)
+    return ActQuantizer(n_bits=bits, gradient_based=q.gradient_based, observer=q.observer,
+                        use_pallas=q.pallas_qat, name=name)
 
 
 def make_weight_quantizer(
@@ -101,6 +102,7 @@ def make_weight_quantizer(
         n_bits=q.weight_n_bits,
         gradient_based=q.gradient_based,
         observer=q.observer,
+        use_pallas=q.pallas_qat,
         name=name,
     )
 

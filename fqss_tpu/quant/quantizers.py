@@ -61,6 +61,10 @@ class ActQuantizer(nn.Module):
     observer: bool = True
     max_observations: int = 50
     alpha: float = 0.9
+    # Route the quantize op through the custom-VJP Pallas kernel
+    # (ops/pallas_qat.py). Identical values and gradients; fwd+bwd become
+    # single-VMEM-pass TPU kernels. Linear/non-sym path only.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -96,6 +100,11 @@ class ActQuantizer(nn.Module):
             if self.kind == "mulaw":
                 m = mu.value if self.gradient_based else jax.lax.stop_gradient(mu.value)
                 return mulaw_fake_quant(v, mn, mx, m, self.n_bits, self.scale_grad)
+            if self.use_pallas and not self.sym:
+                # uniform branch ignores sign (faithful to the reference)
+                from fqss_tpu.ops.pallas_qat import act_fake_quant_train
+
+                return act_fake_quant_train(v, mn, mx, self.n_bits, self.scale_grad)
             sign = mn < 0
             return linear_fake_quant(v, mn, mx, self.n_bits, sign, self.sym, self.scale_grad)
 
@@ -195,6 +204,8 @@ class WeightQuantizer(nn.Module):
     gradient_based: bool = True
     scale_grad: bool = False
     observer: bool = True
+    # Custom-VJP Pallas kernel routing (ops/pallas_qat.py); sym path only.
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, w: Array) -> Array:
@@ -225,7 +236,12 @@ class WeightQuantizer(nn.Module):
         mn, mx = min_range.value, max_range.value
         if not self.gradient_based:
             mn, mx = jax.lax.stop_gradient(mn), jax.lax.stop_gradient(mx)
-        y = linear_fake_quant(w, mn, mx, self.n_bits, True, self.sym, self.scale_grad)
+        if self.use_pallas and self.sym:
+            from fqss_tpu.ops.pallas_qat import weight_fake_quant_train
+
+            y = weight_fake_quant_train(w, mn, mx, self.n_bits, self.scale_grad, self.ch_axis)
+        else:
+            y = linear_fake_quant(w, mn, mx, self.n_bits, True, self.sym, self.scale_grad)
         # One-shot observer: the observing call itself returns float weights
         # (reference returns x on the observation step, qat_quant.py:373-377).
         return jnp.where(observing, w, y)

@@ -41,6 +41,12 @@ class QuantSpec:
     # TPU-build extensions (reference equivalents are code-level choices):
     act_quantizer: str = "linear"  # 'linear' | 'mse'
     lstm_mode: str = "fused"  # 'fused' | 'static' | 'dynamic' (qat_layers.py:571-862)
+    # Route the quantizer hot ops through the custom-VJP Pallas training
+    # kernels (ops/pallas_qat.py): fwd AND bwd are single-VMEM-pass kernels
+    # whose gradients match jax.grad of the XLA path. Off by default: on the
+    # throttled bench device XLA fusion is already at the measured ceiling;
+    # the kernels target full-rate silicon.
+    pallas_qat: bool = False
     # MXU compute dtype for convs/matmuls: 'float32' | 'bfloat16'. The v5e
     # MXU runs bf16 ~4x faster than f32; quantizer grid math stays f32 and
     # accumulation is f32 (preferred_element_type), so only the 8-bit-grid
