@@ -1,5 +1,6 @@
 """Quantization core: bit-faithful fake-quant math, STE rules, quantizer modules."""
 
+from fqss_tpu.quant.calibration import calibrate_mse_quantizers, run_observer
 from fqss_tpu.quant.fake_quant import (
     fix_range_to_include_zero,
     linear_fake_quant,
@@ -29,6 +30,8 @@ __all__ = [
     "FLOAT",
     "QPARAMS",
     "QSTATS",
+    "run_observer",
+    "calibrate_mse_quantizers",
     "linear_fake_quant",
     "mulaw_fake_quant",
     "splitter_quantize",

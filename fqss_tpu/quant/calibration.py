@@ -18,6 +18,29 @@ import jax
 from fqss_tpu.quant.quantizers import QPARAMS, QSTATS
 
 
+def run_observer(model, variables: dict, x, steps: int = 55, **apply_kwargs) -> dict:
+    """Run the activation-observer EMA window: ``steps`` forwards with the
+    quant collections mutable, returning the updated variables.
+
+    The reference runs its observer phase implicitly during the first ~50
+    train steps (qat_quant.py:227-242); this is the standalone calibration
+    entry point (and the fast path for tests/tools: the update step is
+    jitted once instead of re-traced eagerly per step). ``model`` must carry
+    ``observer=True`` in its QuantSpec.
+    """
+    import jax
+
+    @jax.jit
+    def one(var):
+        _, upd = model.apply(var, x, mutable=[QPARAMS, QSTATS], **apply_kwargs)
+        return {**var, **upd}
+
+    var = dict(variables)
+    for _ in range(steps):
+        var = one(var)
+    return jax.device_get(var)
+
+
 def _linear_quantize_np(x: np.ndarray, mn: float, mx: float, n_bits: int) -> np.ndarray:
     """Uniform (asymmetric) grid, numpy (matches fake_quant.linear_fake_quant sym=False)."""
     qmax = 2**n_bits - 1

@@ -19,12 +19,11 @@ ARCH = dict(n_srcs=2, kernel_size=16, stride=8, n_filters=32, bn_chan=8, hid_cha
 
 
 def _ranged(q, x):
+    from fqss_tpu.quant import run_observer
+
     obs = ConvTasNet(q=dataclasses.replace(q, observer=True), **ARCH)
     var = dict(obs.init(jax.random.PRNGKey(0), x))
-    for _ in range(55):
-        _, upd = obs.apply(var, x, mutable=["qparams", "qstats"])
-        var = {**var, **upd}
-    return var
+    return run_observer(obs, var, x, steps=55)
 
 
 def test_fold_weights_convtasnet_bitwise():
@@ -53,11 +52,11 @@ def test_fold_weights_music_linear_decoder_bitwise():
     model = ConvTasNetMusic(q=q, **arch)
     x = jax.random.uniform(jax.random.PRNGKey(5), (2, 2, 2000), minval=-0.9, maxval=0.9)
 
+    from fqss_tpu.quant import run_observer
+
     obs = ConvTasNetMusic(q=dataclasses.replace(q, observer=True), **arch)
     var = dict(obs.init(jax.random.PRNGKey(0), x))
-    for _ in range(55):
-        _, upd = obs.apply(var, x, mutable=["qparams", "qstats"])
-        var = {**var, **upd}
+    var = run_observer(obs, var, x, steps=55)
     y_ref = model.apply(var, x)
 
     smodel, svar = fold_quantized_weights(model, var)
@@ -83,13 +82,13 @@ def test_fold_weights_lstm_attention_bitwise():
             h = QLSTM(hidden_size=16, bidirectional=True, q=self.q, name="lstm")(x)
             return QMultiheadAttention(embed_dim=32, num_heads=4, q=self.q, name="mha")(h, h, h)
 
+    from fqss_tpu.quant import run_observer
+
     q = QuantSpec(qat=True, observer=False)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 20, 24))
     obs = Tiny(q=dataclasses.replace(q, observer=True))
     var = dict(obs.init(jax.random.PRNGKey(1), x))
-    for _ in range(55):
-        _, upd = obs.apply(var, x, mutable=["qparams", "qstats"])
-        var = {**var, **upd}
+    var = run_observer(obs, var, x, steps=55)
     model = Tiny(q=q)
     y_ref = model.apply(var, x)
     smodel, svar = fold_quantized_weights(model, var)

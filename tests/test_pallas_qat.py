@@ -45,7 +45,13 @@ def test_act_fake_quant_train_matches_autodiff():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
-@pytest.mark.parametrize("ch_axis,shape", [(1, (65, 40)), (0, (40, 65)), (2, (5, 33, 24))])
+@pytest.mark.parametrize("ch_axis,shape", [
+    (1, (65, 40)),
+    # the transposed/3-D axis layouts re-test the same kernel through the
+    # moveaxis plumbing — full-matrix coverage lives in the slow tier
+    pytest.param(0, (40, 65), marks=pytest.mark.slow),
+    pytest.param(2, (5, 33, 24), marks=pytest.mark.slow),
+])
 def test_weight_fake_quant_train_matches_autodiff(ch_axis, shape):
     from fqss_tpu.ops.pallas_qat import weight_fake_quant_train
 
@@ -123,6 +129,7 @@ def test_qat_dense_multiblock_grid():
         assert float(jnp.max(jnp.abs(a - bb))) / scale < 1e-3
 
 
+@pytest.mark.slow
 def test_qat_dense_no_act_quant():
     from fqss_tpu.ops.pallas_qat import qat_dense
 
@@ -158,11 +165,11 @@ def test_pallas_qat_model_training_step_parity():
     x = jax.random.uniform(jax.random.PRNGKey(3), (2, 1600), minval=-1.0, maxval=1.0)
 
     # observe ranges once with the XLA path
+    from fqss_tpu.quant import run_observer
+
     obs = ConvTasNet(q=dataclasses.replace(q, observer=True), **arch)
     var = dict(obs.init(jax.random.PRNGKey(0), x))
-    for _ in range(55):
-        _, upd = obs.apply(var, x, mutable=["qparams", "qstats"])
-        var = {**var, **upd}
+    var = run_observer(obs, var, x, steps=55)
 
     model_xla = ConvTasNet(q=q, **arch)
     model_pls = ConvTasNet(q=dataclasses.replace(q, pallas_qat=True), **arch)

@@ -75,13 +75,12 @@ def test_requant_matches_act_quantizer_grid():
 
 
 def _ranged_variables(q, x, key=0):
+    from fqss_tpu.quant import run_observer
+
     q_obs = dataclasses.replace(q, observer=True)
     obs_model = ConvTasNet(q=q_obs, **ARCH)
     var = dict(obs_model.init(jax.random.PRNGKey(key), x))
-    for _ in range(60):
-        _, upd = obs_model.apply(var, x, mutable=["qparams", "qstats"])
-        var = {**var, **upd}
-    return var
+    return run_observer(obs_model, var, x, steps=60)
 
 
 def _out_lsb(variables) -> float:
@@ -170,9 +169,9 @@ def test_music_engine_agrees_at_grid_noise_floor():
     q_obs = dataclasses.replace(q, observer=True)
     obs_model = ConvTasNetMusic(q=q_obs, **arch)
     var = dict(obs_model.init(jax.random.PRNGKey(0), x))
-    for _ in range(60):
-        _, upd = obs_model.apply(var, x, mutable=["qparams", "qstats"])
-        var = {**var, **upd}
+    from fqss_tpu.quant import run_observer
+
+    var = run_observer(obs_model, var, x, steps=60)
 
     y_ref = jax.jit(model.apply)(var, x)
     snr_self = _snr_db(y_ref, model.apply(var, x))
@@ -212,11 +211,11 @@ def test_engine_guards_non8bit_input_grid():
     q = QuantSpec(qat=True, observer=False, out_quant=True, in_quant=True, in_act_n_bits=16)
     model = ConvTasNetMusic(q=q, **arch)
     x = jax.random.uniform(jax.random.PRNGKey(0), (1, 2, 2000), minval=-0.9, maxval=0.9)
+    from fqss_tpu.quant import run_observer
+
     obs = ConvTasNetMusic(q=dc.replace(q, observer=True), **arch)
     var = dict(obs.init(jax.random.PRNGKey(0), x))
-    for _ in range(55):
-        _, upd = obs.apply(var, x, mutable=["qparams", "qstats"])
-        var = {**var, **upd}
+    var = run_observer(obs, var, x, steps=55)
     with pytest.raises(NotImplementedError):
         ConvTasNetMusicInt8Engine(model, var)
 
