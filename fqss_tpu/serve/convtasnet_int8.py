@@ -27,7 +27,6 @@ model exactly (same grid per site).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import jax
@@ -37,129 +36,25 @@ from jax import lax
 
 from fqss_tpu.models.convtasnet import EPS, ConvTasNet
 from fqss_tpu.separation.splitter import postprocess, preprocess
+from fqss_tpu.serve.common import (
+    Grid as _Grid,
+    Int8Weight as _Int8Weight,
+    QAct as _QAct,
+    act_grid as _act_grid,
+    dequant_weight as _dequant_weight,
+    gn1,
+    int8_matmul as _int1x1,
+    int8_weight as _int8_weight,
+    prelu as _prelu,
+    requant as _requant,
+)
 
 Array = jax.Array
 
 
-@dataclasses.dataclass
-class _Grid:
-    """Frozen per-tensor activation grid: y = delta * X + mn, X in [0, 255]."""
-
-    delta: float
-    mn: float
-
-
-@dataclasses.dataclass
-class _Int8Weight:
-    """Per-out-channel symmetric int8 weight for a 1x1 conv (as [K, N])."""
-
-    w_int: np.ndarray  # [K, N] int8
-    scale: np.ndarray  # [N] f32, s_w
-    sum_w: np.ndarray  # [N] f32, sum_k W[k, n]
-    bias: np.ndarray | None  # [N] f32
-
-
-def _act_grid(qp: dict, n_bits: int = 8) -> _Grid:
-    # f32 arithmetic throughout: the fake-quant path computes
-    # delta = (mx - mn) / 255 in f32 on device, and a grid constant that
-    # differs in the 8th decimal shifts round() tie boundaries, flipping
-    # occasional one-LSB requant results vs the QAT forward.
-    mn = np.float32(np.asarray(qp["min_range"], np.float32).reshape(-1)[0])
-    mx = np.float32(np.asarray(qp["max_range"], np.float32).reshape(-1)[0])
-    delta = np.float32(mx - mn) / np.float32(2**n_bits - 1)
-    return _Grid(delta=np.float32(delta), mn=mn)
-
-
-def _int8_weight(kernel: np.ndarray, wq: dict, bias: np.ndarray | None, n_bits: int = 8) -> _Int8Weight:
-    """kernel: (1, K, N) conv1x1 kernel; wq: weight_fake_quantize qparams."""
-    w = np.asarray(kernel, np.float32).reshape(kernel.shape[-2], kernel.shape[-1])  # [K, N]
-    mn = np.asarray(wq["min_range"], np.float32).reshape(-1)
-    mx = np.asarray(wq["max_range"], np.float32).reshape(-1)
-    max_abs = np.maximum(np.abs(mn), np.abs(mx))  # [N]
-    scale = 2.0 * max_abs / (2**n_bits - 1)
-    safe = np.where(scale > 0, scale, 1.0)
-    w_int = np.clip(np.round(w / safe[None, :]), -(2 ** (n_bits - 1)), 2 ** (n_bits - 1) - 1)
-    return _Int8Weight(
-        w_int=w_int.astype(np.int8),
-        scale=scale.astype(np.float32),
-        sum_w=w_int.sum(axis=0).astype(np.float32),
-        bias=None if bias is None else np.asarray(bias, np.float32),
-    )
-
-
-def _dequant_weight(kernel: np.ndarray, wq: dict | None, ch_axis: int, n_bits: int = 8) -> np.ndarray:
-    """Fold the weight fake-quant once (host-side) for the f32/bf16 convs."""
-    w = np.asarray(kernel, np.float32)
-    if wq is None:
-        return w
-    mn = np.asarray(wq["min_range"], np.float32)
-    mx = np.asarray(wq["max_range"], np.float32)
-    max_abs = np.maximum(np.abs(mn), np.abs(mx))
-    delta = 2.0 * max_abs / (2**n_bits - 1)
-    delta = np.where(delta > 0, delta, 1.0)
-    q = np.clip(np.round(w / delta), -(2 ** (n_bits - 1)), 2 ** (n_bits - 1) - 1)
-    return (delta * q).astype(np.float32)
-
-
-class _QAct:
-    """A quantized activation stored as the int8 plane Xs = X - 128.
-
-    Materializing activations at 1 byte/elem cuts the HBM traffic of every
-    producer/consumer boundary 4x vs the f32 fake-quant tensor; the f32 view
-    (exactly equal to the fake-quant output) is reconstructed in-register by
-    whatever elementwise chain consumes it.
-    """
-
-    __slots__ = ("Xs", "grid")
-
-    def __init__(self, Xs: Array, grid: _Grid):
-        self.Xs = Xs  # int8, X - 128 with X on the [0, 255] grid
-        self.grid = grid
-
-    @property
-    def f32(self) -> Array:
-        g = self.grid
-        # X = Xs + 128 is exact integer arithmetic in f32, so this equals the
-        # fake-quant path's delta * X + mn bit-for-bit.
-        X = self.Xs.astype(jnp.float32) + 128.0
-        return g.delta * X + g.mn
-
-    @property
-    def int8(self) -> Array:
-        return self.Xs
-
-
-def _requant(x: Array, g: _Grid) -> _QAct:
-    X = jnp.clip(jnp.round((x - g.mn) / g.delta), 0.0, 255.0)
-    return _QAct((X - 128.0).astype(jnp.int8), g)
-
-
-def _int1x1(qa: _QAct, w: _Int8Weight) -> Array:
-    """Exact int8 1x1 conv: [B, T, K] x [K, N] -> [B, T, N] f32."""
-    b, t, k = qa.Xs.shape
-    acc = lax.dot_general(
-        qa.int8.reshape(b * t, k),
-        jnp.asarray(w.w_int),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
-    scale = jnp.asarray(qa.grid.delta * w.scale)  # [N]
-    corr = jnp.asarray((qa.grid.mn + 128.0 * qa.grid.delta) * w.scale * w.sum_w)  # [N]
-    out = acc * scale + corr
-    if w.bias is not None:
-        out = out + jnp.asarray(w.bias)
-    return out.reshape(b, t, -1)
-
-
 def _gn1(x: Array, scale: Array, bias: Array, eps: float = EPS) -> Array:
     """GroupNorm(num_groups=1) over (T, C) — the reference's gLN."""
-    mu = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=(1, 2), keepdims=True)
-    return (x - mu) * lax.rsqrt(var + eps) * scale + bias
-
-
-def _prelu(x: Array, alpha: Array) -> Array:
-    return jnp.where(x >= 0, x, alpha * x)
+    return gn1(x, scale, bias, eps)
 
 
 class ConvTasNetInt8Engine:
