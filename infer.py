@@ -24,7 +24,7 @@ def argument_handler():
         default="fake_quant",
         help="Serving path: per-forward fake-quant (reference semantics), "
         "weight-folded fake-quant (bitwise identical, weights pre-quantized), "
-        "or the int8 MXU engine (ConvTasNet families).",
+        "or the int8 MXU engine (ConvTasNet families, Sepformer, DPTNet).",
     )
     return parser.parse_args()
 
@@ -61,17 +61,12 @@ def infer():
     example = jnp.zeros((1, int(segment or wav.shape[-1])), jnp.float32)
     model, variables = create_pretrained_model(model_cfg, example, observer=False)
     if args.engine == "int8":
-        from fqss_tpu.models.convtasnet import ConvTasNet
-        from fqss_tpu.models.convtasnet_music import ConvTasNetMusic
-        from fqss_tpu.serve import ConvTasNetInt8Engine
-        from fqss_tpu.serve.convtasnet_music_int8 import ConvTasNetMusicInt8Engine
+        from fqss_tpu.serve import make_int8_engine
 
-        if isinstance(model, ConvTasNet):
-            apply_fn = ConvTasNetInt8Engine(model, variables)
-        elif isinstance(model, ConvTasNetMusic):
-            apply_fn = ConvTasNetMusicInt8Engine(model, variables)
-        else:
-            raise SystemExit("--engine int8 supports the ConvTasNet families; use --engine folded")
+        try:
+            apply_fn = make_int8_engine(model, variables)
+        except NotImplementedError as e:
+            raise SystemExit(f"--engine int8: {e}; use --engine folded")
     elif args.engine == "folded":
         from fqss_tpu.serve import fold_quantized_weights
 
