@@ -72,7 +72,7 @@ def timeit(fn, *args, n=10):
     return (time.perf_counter() - t0) / n
 
 
-def bench_case(name: str):
+def bench_case(name: str, engines: bool = False):
     c = CASES[name]
     T = int(c["seconds"] * c["sr"])
     shape = (c["batch"], 2, T) if c["stereo"] else (c["batch"], T)
@@ -89,13 +89,28 @@ def bench_case(name: str):
                   f"{dt*1e3:9.2f} ms {sa:12,.0f} sec-audio/s", flush=True)
         except Exception as e:
             print(f"{name:18s} {dtype:9s} FAILED: {type(e).__name__}: {e}", flush=True)
+        if engines and dtype == "bfloat16":
+            try:
+                from fqss_tpu.serve import make_int8_engine
+
+                engine = make_int8_engine(model, dict(variables), compute_dtype=dtype)
+                eng_fwd = jax.jit(lambda xx, tick: engine._forward(xx + tick * 1e-6))
+                dt = timeit(eng_fwd, x, n=8)
+                sa = c["batch"] * c["seconds"] / dt
+                print(f"{name:18s} int8-eng  batch={c['batch']:3d} x {c['seconds']:.0f}s "
+                      f"{dt*1e3:9.2f} ms {sa:12,.0f} sec-audio/s", flush=True)
+            except NotImplementedError:
+                pass
+            except Exception as e:
+                print(f"{name:18s} int8-eng  FAILED: {type(e).__name__}: {e}", flush=True)
 
 
 def main():
     names = [a for a in sys.argv[1:] if not a.startswith("-")] or list(CASES)
+    engines = "--engines" in sys.argv
     print(f"device: {jax.devices()}", flush=True)
     for n in names:
-        bench_case(n)
+        bench_case(n, engines=engines)
 
 
 if __name__ == "__main__":
