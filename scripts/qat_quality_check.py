@@ -30,9 +30,30 @@ from fqss_tpu.separation.losses import pit_neg_sisdr_db
 from fqss_tpu.separation.splitter import split_msb_lsb
 from fqss_tpu.train import TrainConfig, create_train_state, make_optimizer, make_train_step
 
-ARCH = dict(n_srcs=2, kernel_size=16, stride=8, n_filters=128, bn_chan=32, hid_chan=64, n_blocks=4, n_repeats=2)
+ARCHS = {
+    "convtasnet": dict(n_srcs=2, kernel_size=16, stride=8, n_filters=128, bn_chan=32, hid_chan=64, n_blocks=4, n_repeats=2),
+    "sepformer": dict(n_srcs=2, kernel_size=16, stride=8, n_filters=64, n_repeats=1, n_heads=4, chunk_size=50, n_ffn=128, n_layers=2),
+    "dptnet": dict(n_srcs=2, kernel_size=8, enc_dim=64, feature_dim=32, hidden_dim=32, layer=2, segment_size=50),
+}
 SEG = 8000  # 1s @ 8k
 BATCH = 8
+
+
+def make_model(name: str, q=None):
+    kw = dict(ARCHS[name])
+    if q is not None:
+        kw["q"] = q
+    if name == "convtasnet":
+        return ConvTasNet(**kw)
+    if name == "sepformer":
+        from fqss_tpu.models.sepformer import Sepformer
+
+        return Sepformer(**kw)
+    if name == "dptnet":
+        from fqss_tpu.models.dptnet import DPTNet
+
+        return DPTNet(**kw)
+    raise ValueError(name)
 
 TASKS = {"band": lambda rng, b, t: synth_band_batch(rng, b, t), "hard": lambda rng, b, t: synth_batch(rng, b, 2, t)}
 _gen = TASKS["band"]
@@ -110,6 +131,7 @@ def main():
     ap.add_argument("--steps-qat", type=int, default=2500)
     ap.add_argument("--qat-lr", type=float, default=1e-3)
     ap.add_argument("--task", choices=sorted(TASKS), default="band")
+    ap.add_argument("--model", choices=sorted(ARCHS), default="convtasnet")
     ap.add_argument(
         "--internal-bits",
         type=int,
@@ -132,8 +154,8 @@ def main():
     x0 = jnp.zeros((BATCH, SEG))
 
     # ---- 1. float training from scratch
-    print("== float training ==")
-    fmodel = ConvTasNet(**ARCH)
+    print(f"== float training ({args.model}) ==")
+    fmodel = make_model(args.model)
     fvars = dict(fmodel.init(jax.random.PRNGKey(0), x0))
     cfg_f = TrainConfig(kd_lambda=0.0, lr=1e-3)
     fvars_trained, _ = train(fmodel, fmodel, fvars, None, cfg_f, args.steps_float, seed=1)
@@ -151,7 +173,7 @@ def main():
         act_n_bits=args.internal_bits,
         out_act_n_bits=8,
     )
-    qmodel = ConvTasNet(q=q, **ARCH)
+    qmodel = make_model(args.model, q=q)
     qvars = dict(qmodel.init(jax.random.PRNGKey(0), x0))
     # load float weights (encoder widened for the splitter)
     from fqss_tpu.models.factory import merge_float_params
@@ -177,7 +199,7 @@ def main():
         in_act_n_bits=8,
         out_act_n_bits=8,
     )
-    vmodel = ConvTasNet(q=qv, **ARCH)
+    vmodel = make_model(args.model, q=qv)
     vvars = dict(vmodel.init(jax.random.PRNGKey(0), x0))
     vvars["params"] = merge_float_params(vvars["params"], fvars_trained["params"], 1)
     vvars_trained, _ = train(vmodel, fmodel, vvars, None, TrainConfig(kd_lambda=0.0, lr=args.qat_lr), args.steps_qat, seed=2)
@@ -185,7 +207,7 @@ def main():
     print(f"vanilla-8bit SI-SDR: {vanilla_sisdr:.2f} dB")
 
     print("\n==== RESULT ====")
-    print(f"task: {args.task}")
+    print(f"task: {args.task} | model: {args.model}")
     print(f"8-bit output ceiling:  {ceil8:.2f} dB | splitter ceiling: {ceil_fqss:.2f} dB")
     print(f"float:       {float_sisdr:.2f} dB")
     print(f"vanilla QAT: {vanilla_sisdr:.2f} dB (gap {float_sisdr - vanilla_sisdr:+.2f})")
