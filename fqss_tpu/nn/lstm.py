@@ -163,6 +163,14 @@ class _LSTMDirection(nn.Module):
                 site_max.value = mxT
                 if self.is_mutable_collection(QSTATS):
                     n_iter.value = cntT
+        elif self.q.pallas_lstm and not quant:
+            # Fused/float recurrence through the Pallas kernel: time loop
+            # in-kernel, h/c + W_hh resident in VMEM (ops/pallas_lstm.py).
+            from fqss_tpu.ops.pallas_lstm import lstm_sequence
+
+            # time-major kernel: returns [T, B, H], matching the scan
+            # branches' layout ahead of the common axis swap below.
+            hs = lstm_sequence(jnp.swapaxes(ih_all, 0, 1), w_hh)
         else:
             def step(carry, ih_t):
                 h, c = carry

@@ -47,6 +47,12 @@ class QuantSpec:
     # throttled bench device XLA fusion is already at the measured ceiling;
     # the kernels target full-rate silicon.
     pallas_qat: bool = False
+    # Route fused-mode LSTM recurrences through the Pallas kernel
+    # (ops/pallas_lstm.py): time loop inside the kernel grid, h/c and W_hh
+    # resident in VMEM — attacks the per-step dispatch floor of scan-based
+    # LSTMs (DPTNet's dual-path FFN, Demucs BLSTM). Training-safe: backward
+    # rematerializes via the scan path (custom_vjp).
+    pallas_lstm: bool = False
     # MXU compute dtype for convs/matmuls: 'float32' | 'bfloat16'. The v5e
     # MXU runs bf16 ~4x faster than f32; quantizer grid math stays f32 and
     # accumulation is f32 (preferred_element_type), so only the 8-bit-grid

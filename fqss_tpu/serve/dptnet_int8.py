@@ -65,8 +65,13 @@ class DPTNetInt8Engine:
     with [B, T]; returns [B, n_srcs, T'].
     """
 
-    def __init__(self, model: DPTNet, variables: dict, compute_dtype: str = "bfloat16"):
+    def __init__(self, model: DPTNet, variables: dict, compute_dtype: str = "bfloat16",
+                 pallas_lstm: bool = False):
         q = model.q
+        if pallas_lstm:
+            import dataclasses
+
+            q = dataclasses.replace(q, pallas_lstm=True)
         if q.n_combiner > 2:
             raise NotImplementedError("combiner chains beyond 2 planes")
         check_8bit_spec(q)
