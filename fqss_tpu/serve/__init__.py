@@ -8,11 +8,14 @@ modules (reference qat_utils.py:334-351). This package goes further:
 * int8 engines — execute the FLOP-dominant matmuls of a QAT checkpoint as
   true s8 x s8 -> s32 MXU ops with int8-materialized activations
   (ConvTasNet, ConvTasNet-music, Sepformer, DPTNet);
-* :func:`make_int8_engine` — model-type dispatch used by infer.py/val.py.
+* :func:`make_int8_engine` — model-type dispatch used by infer.py/val.py;
+* :class:`StreamingSeparator` — real-time chunked separation of unbounded
+  streams with bounded latency (sample-identical to offline OLA).
 """
 
 from fqss_tpu.serve.convtasnet_int8 import ConvTasNetInt8Engine
 from fqss_tpu.serve.fold import fold_quantized_weights
+from fqss_tpu.serve.streaming import StreamingSeparator
 
 
 def make_int8_engine(model, variables, compute_dtype: str = "bfloat16"):
@@ -43,4 +46,9 @@ def make_int8_engine(model, variables, compute_dtype: str = "bfloat16"):
     )
 
 
-__all__ = ["ConvTasNetInt8Engine", "fold_quantized_weights", "make_int8_engine"]
+__all__ = [
+    "ConvTasNetInt8Engine",
+    "StreamingSeparator",
+    "fold_quantized_weights",
+    "make_int8_engine",
+]
