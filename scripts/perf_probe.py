@@ -129,6 +129,29 @@ def bench_engine(q: QuantSpec, compute_dtype: str, use_pallas: bool, label: str,
     return dt
 
 
+def bench_fold(n=8):
+    """QAT fake-quant forward vs the weight-folded serving path
+    (serve/fold.py) on the same checkpoint — the fold removes the per-call
+    weight quant-dequant (bitwise-equal outputs)."""
+    import dataclasses
+
+    from fqss_tpu.serve.fold import fold_quantized_weights
+
+    q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2,
+                  out_quant=True, compute_dtype="bfloat16")
+    model = ConvTasNet(n_srcs=2, kernel_size=KERNEL, stride=STRIDE, q=q)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (BATCH, SEG), minval=-1.0, maxval=1.0)
+    variables = dict(model.init(jax.random.PRNGKey(1), x))
+    fwd = jax.jit(lambda v, x, tick: model.apply(v, x + tick * 1e-6))
+    dt = timeit(fwd, variables, x, n=n)
+    print(f"{'QAT fake-quant bf16':36s} {dt*1e3:8.2f} ms   {BATCH*SEG/8000.0/dt:12,.0f} sec-audio/s", flush=True)
+    smodel, svars = fold_quantized_weights(model, variables)
+    sfwd = jax.jit(lambda v, x, tick: smodel.apply(v, x + tick * 1e-6))
+    dtf = timeit(sfwd, svars, x, n=n)
+    print(f"{'weight-folded serving bf16':36s} {dtf*1e3:8.2f} ms   {BATCH*SEG/8000.0/dtf:12,.0f} sec-audio/s", flush=True)
+    return dt, dtf
+
+
 def bench_train_step(n=8):
     """Honest KD QAT train-step time (full-size ConvTasNet, batch 4 x 3s@8k,
     student fwd + teacher fwd + loss + bwd + clipped Adam step) — replaces
@@ -244,6 +267,9 @@ def main():
         return
     if "--gradprobe" in sys.argv:
         bench_grad_probe()
+        return
+    if "--fold" in sys.argv:
+        bench_fold()
         return
     q_float = QuantSpec(qat=False)
     q_qat = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
