@@ -125,3 +125,32 @@ def test_stereo_stream_equals_offline(tiny_model):
     got = np.concatenate([eng.push(mix[:, :1700]), eng.push(mix[:, 1700:]), eng.flush()],
                          axis=-1)
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_stream_with_int8_engine():
+    """StreamingSeparator composes with a deployment engine (the docstring's
+    claim): drain a stream through ConvTasNetInt8Engine and match offline
+    ola_infer over the same engine forward."""
+    import dataclasses
+
+    from fqss_tpu.serve import ConvTasNetInt8Engine
+
+    q = QuantSpec(qat=True, observer=True, n_splitter=2, n_combiner=2, out_quant=True)
+    model = ConvTasNet(n_srcs=2, kernel_size=16, stride=8, n_filters=32, bn_chan=16,
+                       hid_chan=32, n_blocks=2, n_repeats=1, q=q)
+    x = jnp.asarray(np.random.default_rng(2).uniform(-1, 1, (1, SEG)), jnp.float32)
+    variables = dict(model.init(jax.random.PRNGKey(0), x))  # observer pass seeds ranges
+    eng_model = ConvTasNet(n_srcs=2, kernel_size=16, stride=8, n_filters=32, bn_chan=16,
+                           hid_chan=32, n_blocks=2, n_repeats=1,
+                           q=dataclasses.replace(q, observer=False))
+    engine = ConvTasNetInt8Engine(eng_model, variables, compute_dtype="float32")
+
+    rng = np.random.default_rng(3)
+    mix = rng.uniform(-1, 1, (1, 1800)).astype(np.float32)
+    ref = ola_infer(engine, mix, n_srcs=2, segment=SEG, overlap=OVERLAP, chunk_batch=1)
+
+    stream = StreamingSeparator(engine, n_srcs=2, segment=SEG, overlap=OVERLAP)
+    outs = [stream.push(mix[0, :900]), stream.push(mix[0, 900:]), stream.flush()]
+    got = np.concatenate(outs, axis=-1)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=1e-5)
