@@ -26,6 +26,15 @@ def argument_handler():
         "weight-folded fake-quant (bitwise identical, weights pre-quantized), "
         "or the int8 MXU engine (ConvTasNet families, Sepformer, DPTNet).",
     )
+    parser.add_argument(
+        "--stream",
+        type=int,
+        default=None,
+        metavar="PUSH",
+        help="Feed the file through the real-time StreamingSeparator in "
+        "PUSH-sample pushes (bounded-latency serving path; a drained stream "
+        "is sample-identical to the offline OLA output).",
+    )
     return parser.parse_args()
 
 
@@ -75,8 +84,23 @@ def infer():
     else:
         apply_fn = jax.jit(lambda x: model.apply(variables, x))
 
-    out = ola_infer(apply_fn, wav, n_srcs=n_srcs, segment=segment,
-                    overlap=testing_cfg.get("overlap", 0.25))
+    overlap = testing_cfg.get("overlap", 0.25)
+    if args.stream:
+        from fqss_tpu.serve.streaming import StreamingSeparator
+
+        if not segment:
+            raise SystemExit("--stream needs testing_cfg.segment_samples")
+        channels = wav.shape[0]
+        eng = StreamingSeparator(apply_fn, n_srcs=n_srcs, segment=int(segment),
+                                 overlap=overlap, channels=channels)
+        pieces = [
+            eng.push(wav[:, i : i + args.stream] if channels > 1 else wav[0, i : i + args.stream])
+            for i in range(0, wav.shape[-1], args.stream)
+        ]
+        pieces.append(eng.flush())
+        out = np.concatenate(pieces, axis=-1)
+    else:
+        out = ola_infer(apply_fn, wav, n_srcs=n_srcs, segment=segment, overlap=overlap)
 
     out_dir = args.output_dir or os.path.join(
         conf.get("work_dir", "."), "inference", os.path.splitext(os.path.basename(args.audio_path))[0]
