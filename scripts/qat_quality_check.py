@@ -212,6 +212,17 @@ def main():
     print(f"float:       {float_sisdr:.2f} dB")
     print(f"vanilla QAT: {vanilla_sisdr:.2f} dB (gap {float_sisdr - vanilla_sisdr:+.2f})")
     print(f"FQSS QAT:    {qat_sisdr:.2f} dB (gap {float_sisdr - qat_sisdr:+.2f})")
+    import json
+
+    print(json.dumps({
+        "task": args.task, "model": args.model,
+        "internal_bits": args.internal_bits,
+        "steps_float": args.steps_float, "steps_qat": args.steps_qat,
+        "ceiling_8bit_db": round(ceil8, 2), "ceiling_fqss_db": round(ceil_fqss, 2),
+        "float_db": round(float_sisdr, 2),
+        "vanilla_db": round(vanilla_sisdr, 2),
+        "fqss_db": round(qat_sisdr, 2),
+    }))
 
 
 if __name__ == "__main__":
