@@ -72,10 +72,16 @@ class StreamingSeparator:
 
         out_shape = (n_srcs, channels) if channels > 1 else (n_srcs,)
         self._out_lead = out_shape
+        self.reset()
+
+    def reset(self) -> None:
+        """Start a new stream, reusing the compiled ``apply_fn`` executable
+        (the expensive part — one XLA compilation serves every stream with
+        this geometry)."""
         # ring state: buffers start at absolute sample index self._base
         self._base = 0  # absolute index of mix[..., 0] / out[..., 0]
-        self._mix = np.zeros((channels, 0), np.float32)
-        self._out = np.zeros(out_shape + (0,), np.float32)
+        self._mix = np.zeros((self.channels, 0), np.float32)
+        self._out = np.zeros(self._out_lead + (0,), np.float32)
         self._wsum = np.zeros((0,), np.float32)
         self._next_start = 0  # absolute start of the next window
         self._total = 0  # total samples received

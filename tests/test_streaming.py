@@ -154,3 +154,22 @@ def test_stream_with_int8_engine():
     got = np.concatenate(outs, axis=-1)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_reset_reuses_executable_for_new_stream():
+    """reset() starts a fresh stream on the same compiled fn: two identical
+    streams produce identical output, and state does not leak between them."""
+    calls = []
+
+    def fake_fwd(x):  # [1, seg] -> [1, 2, seg]: deterministic, model-free
+        calls.append(x.shape)
+        return np.stack([x * 0.5, x * -0.25], axis=1)
+
+    rng = np.random.default_rng(7)
+    mix = rng.uniform(-1, 1, 1500).astype(np.float32)
+    eng = StreamingSeparator(fake_fwd, n_srcs=2, segment=SEG, overlap=OVERLAP)
+    y1 = np.concatenate([eng.push(mix), eng.flush()], axis=-1)
+    eng.reset()
+    y2 = np.concatenate([eng.push(mix[:400]), eng.push(mix[400:]), eng.flush()], axis=-1)
+    np.testing.assert_array_equal(y1, y2)
+    assert all(s == (1, SEG) for s in calls)  # one fixed-shape executable
