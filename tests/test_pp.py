@@ -57,7 +57,7 @@ def test_layer_stack_vars_stacks_in_order():
         assert jnp.array_equal(a, b)
 
 
-@pytest.mark.parametrize("n_microbatches", [4, 8])
+@pytest.mark.parametrize("n_microbatches", [2, 4, 8])  # incl. M < stages
 def test_pipeline_forward_matches_sequential_float(n_microbatches):
     layer, variables, per_layer, x = _stack()
     mesh = _mesh(4)
