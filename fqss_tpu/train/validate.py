@@ -54,8 +54,13 @@ def val_librimix(
     limit: int | None = None,
     compute_stoi: bool = True,
     mesh=None,
+    apply_fn=None,
 ):
-    """Returns (SI-SDR, SI-SDR improvement, SDR, STOI) means (val.py:59-92)."""
+    """Returns (SI-SDR, SI-SDR improvement, SDR, STOI) means (val.py:59-92).
+
+    ``apply_fn`` overrides the default jitted ``model.apply`` — pass a
+    serving engine (serve/*_int8.py) to evaluate the deployment path.
+    """
     n_srcs = model_cfg.get("n_src", 1)
     mix_files, src_files = read_librimix_files(
         testing_cfg["test_dir"], n_srcs, dataset_cfg.get("noisy", False)
@@ -65,7 +70,8 @@ def val_librimix(
     segment = testing_cfg.get("segment_samples")
     overlap = testing_cfg.get("overlap", 0.25)
 
-    apply_fn = jax.jit(lambda x: model.apply(variables, x))
+    if apply_fn is None:
+        apply_fn = jax.jit(lambda x: model.apply(variables, x))
 
     sisdrs = np.zeros(n)
     sisdrs_imp = np.zeros(n)

@@ -36,7 +36,7 @@ def list_musdb_tracks(root: str, subset: str = "test") -> list[str]:
     return [os.path.join(d, t) for t in tracks]
 
 
-def _separate_track(model, variables, track_dir: str, sources, testing_cfg, train_flag=False, mesh=None):
+def _separate_track(model, variables, track_dir: str, sources, testing_cfg, train_flag=False, mesh=None, apply_fn=None):
     mix, fs = read_audio(os.path.join(track_dir, "mixture.wav"))  # [C, T]
     ref = mix.mean(axis=0)
     mix_mean, mix_std = float(ref.mean()), float(ref.std())
@@ -45,10 +45,11 @@ def _separate_track(model, variables, track_dir: str, sources, testing_cfg, trai
     from fqss_tpu.models.htdemucs import HTDemucs
 
     is_htd = isinstance(model, HTDemucs)
-    if is_htd:
-        apply_fn = jax.jit(lambda x: model.apply(variables, x, train=False))
-    else:
-        apply_fn = jax.jit(lambda x: model.apply(variables, x))
+    if apply_fn is None:
+        if is_htd:
+            apply_fn = jax.jit(lambda x: model.apply(variables, x, train=False))
+        else:
+            apply_fn = jax.jit(lambda x: model.apply(variables, x))
     seps = ola_infer(
         apply_fn, mix_n, n_srcs=len(sources),
         segment=testing_cfg.get("segment_samples"),
@@ -63,7 +64,7 @@ def _separate_track(model, variables, track_dir: str, sources, testing_cfg, trai
     return seps * mix_std + mix_mean, fs
 
 
-def val_musdbhq_nsdr(model, variables, model_cfg: Mapping[str, Any], testing_cfg: Mapping[str, Any], limit=None, mesh=None):
+def val_musdbhq_nsdr(model, variables, model_cfg: Mapping[str, Any], testing_cfg: Mapping[str, Any], limit=None, mesh=None, apply_fn=None):
     """Mean NSDR + per-stem NSDRs (val.py:95-132)."""
     sources = tuple(model_cfg.get("sources", ["drums", "bass", "other", "vocals"]))
     tracks = list_musdb_tracks(testing_cfg["test_dir"])
@@ -71,7 +72,7 @@ def val_musdbhq_nsdr(model, variables, model_cfg: Mapping[str, Any], testing_cfg
         tracks = tracks[:limit]
     sdrs = np.zeros((len(sources), len(tracks)))
     for j, track in enumerate(tracks):
-        seps, _ = _separate_track(model, variables, track, sources, testing_cfg, mesh=mesh)
+        seps, _ = _separate_track(model, variables, track, sources, testing_cfg, mesh=mesh, apply_fn=apply_fn)
         for i, src in enumerate(sources):
             ref_audio, _ = read_audio(os.path.join(track, f"{src}.wav"))
             sep = seps[i][..., : ref_audio.shape[-1]]
@@ -85,7 +86,8 @@ def val_musdbhq_nsdr(model, variables, model_cfg: Mapping[str, Any], testing_cfg
 
 
 def val_musdbhq(model, variables, model_cfg: Mapping[str, Any], testing_cfg: Mapping[str, Any],
-                limit=None, return_full: bool = False, filter_length: int = 512, mesh=None):
+                limit=None, return_full: bool = False, filter_length: int = 512, mesh=None,
+                apply_fn=None):
     """museval-grade BSS eval v4 (val.py:134-181): framewise SDR/ISR/SIR/SAR
     with 1 s windows, median over frames then median over tracks per stem
     (museval eval_mus_track + agg_frames_tracks_scores).
@@ -102,7 +104,7 @@ def val_musdbhq(model, variables, model_cfg: Mapping[str, Any], testing_cfg: Map
     keys = ("SDR", "ISR", "SIR", "SAR")
     track_scores = {k: np.zeros((len(sources), len(tracks))) for k in keys}
     for j, track in enumerate(tracks):
-        seps, fs = _separate_track(model, variables, track, sources, testing_cfg, mesh=mesh)
+        seps, fs = _separate_track(model, variables, track, sources, testing_cfg, mesh=mesh, apply_fn=apply_fn)
         refs = []
         for src in sources:
             ref_audio, _ = read_audio(os.path.join(track, f"{src}.wav"))

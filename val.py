@@ -17,10 +17,11 @@ def argument_handler():
     parser.add_argument("--no-stoi", action="store_true", help="Skip STOI (slow on host)")
     parser.add_argument(
         "--engine",
-        choices=["fake_quant", "folded"],
+        choices=["fake_quant", "folded", "int8"],
         default="fake_quant",
-        help="Serving path: per-forward fake-quant, or weight-folded (bitwise "
-        "identical, weight quantizers pre-applied at load).",
+        help="Serving path: per-forward fake-quant, weight-folded (bitwise "
+        "identical, weight quantizers pre-applied at load), or the int8 MXU "
+        "engine (ConvTasNet families, Sepformer, DPTNet).",
     )
     return parser.parse_args()
 
@@ -53,27 +54,35 @@ def val():
         "No support for splitter/combiner with non QAT model."
     )
 
+    apply_fn = None
     if args.engine == "folded":
         from fqss_tpu.serve import fold_quantized_weights
 
         model, variables = fold_quantized_weights(model, variables)
+    elif args.engine == "int8":
+        from fqss_tpu.serve import make_int8_engine
+
+        try:
+            apply_fn = make_int8_engine(model, variables)
+        except NotImplementedError as e:
+            raise SystemExit(f"--engine int8: {e}; use --engine folded")
 
     if dataset_cfg["name"] == "librimix":
         from fqss_tpu.train.validate import val_librimix
 
         sisnr, sisnr_imp, sdr, stoi = val_librimix(
             model, variables, model_cfg, dataset_cfg, testing_cfg,
-            limit=args.limit, compute_stoi=not args.no_stoi,
+            limit=args.limit, compute_stoi=not args.no_stoi, apply_fn=apply_fn,
         )
         print("SI-SDR={:0.2f},SI-SDR-imp={:0.2f},SDR={:0.2f},STOI={:0.3f}".format(sisnr, sisnr_imp, sdr, stoi))
     elif dataset_cfg["name"] == "musdbhq":
         from fqss_tpu.train.validate_musdb import val_musdbhq, val_musdbhq_nsdr
 
         if testing_cfg.get("NSDR", False):
-            vals = val_musdbhq_nsdr(model, variables, model_cfg, testing_cfg, limit=args.limit)
+            vals = val_musdbhq_nsdr(model, variables, model_cfg, testing_cfg, limit=args.limit, apply_fn=apply_fn)
             print("NSDR={:0.2f},NSDR_DRUMS={:0.2f},NSDR_BASS={:0.2f},NSDR_OTHER={:0.2f},NSDR_VOCALS={:0.2f}".format(*vals))
         else:
-            vals, full = val_musdbhq(model, variables, model_cfg, testing_cfg, limit=args.limit, return_full=True)
+            vals, full = val_musdbhq(model, variables, model_cfg, testing_cfg, limit=args.limit, return_full=True, apply_fn=apply_fn)
             print("SDR={:0.2f},SDR_DRUMS={:0.2f},SDR_BASS={:0.2f},SDR_OTHER={:0.2f},SDR_VOCALS={:0.2f}".format(*vals))
             for metric in ("ISR", "SIR", "SAR"):  # full bss_eval v4 table
                 per = full[metric]
