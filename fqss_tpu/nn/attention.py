@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from fqss_tpu.nn.layers import make_act_quantizer, make_weight_quantizer, mxu_operands, torch_uniform_init
+from fqss_tpu.ops import pallas_attention
 from fqss_tpu.quant.spec import FLOAT, QuantSpec
 
 Array = jax.Array
@@ -85,6 +86,34 @@ class QMultiheadAttention(nn.Module):
         Qh = Qh / math.sqrt(d)
         if q_div is not None:
             Qh = q_div(Qh)
+
+        # Fused Pallas attention core (ops/pallas_attention.py): QK^T,
+        # softmax, AV, and the head fake-quant in one VMEM pass — the [L, L]
+        # logits never reach HBM. Legal exactly because the attn/softmax
+        # quantizer sites are reference no-ops; the fix_attn_quant variant
+        # (and the MSE/observer-window cases) use the XLA path below.
+        if (
+            self.q.pallas_attn
+            and not self.fix_attn_quant
+            and q_head is not None
+            and self.q.act_quantizer == "linear"
+            and not self.is_initializing()
+            and pallas_attention.supported(Lq, Lk, d)
+        ):
+            hmn, hmx = q_head(None, ranges_only=True)
+            heads = pallas_attention.fused_attention(
+                Qh.reshape(B * h, Lq, d),
+                Kh.reshape(B * h, Lk, d),
+                Vh.reshape(B * h, Lk, d),
+                hmn,
+                hmx,
+                self.q.act_n_bits,
+            ).reshape(B, h, Lq, d)
+            y = heads.transpose(0, 2, 1, 3).reshape(B, Lq, E)
+            yc, w_out_c = mxu_operands(self.q, y, w_out)
+            y = dot(yc, w_out_c) + b_out
+            return q_out(y) if q_out is not None else y
+
         Qc, Kc = mxu_operands(self.q, Qh, Kh)
         attn = jnp.einsum("bhqd,bhkd->bhqk", Qc, Kc, preferred_element_type=jnp.float32)
         if q_attn is not None and self.fix_attn_quant:

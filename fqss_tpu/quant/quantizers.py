@@ -67,12 +67,21 @@ class ActQuantizer(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array | None, *, ranges_only: bool = False):
         min_range = self.variable(QPARAMS, "min_range", lambda: jnp.full((1,), -0.5, jnp.float32))
         max_range = self.variable(QPARAMS, "max_range", lambda: jnp.full((1,), 0.5, jnp.float32))
         if self.kind == "mulaw":
             mu = self.variable(QPARAMS, "mu", lambda: jnp.ones((1,), jnp.float32))
         n_iter = self.variable(QSTATS, "n_iter", lambda: jnp.zeros((), jnp.int32))
+
+        if ranges_only:
+            # Hand the learned ranges to a caller that fuses the quantize op
+            # into its own kernel (ops/pallas_attention.py). No observer
+            # update — fused callers run post-calibration by contract.
+            mn, mx = min_range.value, max_range.value
+            if not self.gradient_based:
+                mn, mx = jax.lax.stop_gradient(mn), jax.lax.stop_gradient(mx)
+            return mn, mx
 
         if self.is_initializing():
             return x

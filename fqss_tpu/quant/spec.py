@@ -53,6 +53,13 @@ class QuantSpec:
     # LSTMs (DPTNet's dual-path FFN, Demucs BLSTM). Training-safe: backward
     # rematerializes via the scan path (custom_vjp).
     pallas_lstm: bool = False
+    # Route the attention core (QK^T -> softmax -> AV -> head-quant) through
+    # the fused Pallas kernel (ops/pallas_attention.py): the [L, L] logits
+    # stay in VMEM instead of round-tripping HBM between einsums. Gradients
+    # rematerialize via the XLA composition (custom_vjp). Assumes quantizer
+    # ranges are past the observer window (serving/eval, or QAT fine-tuning
+    # after calibration).
+    pallas_attn: bool = False
     # MXU compute dtype for convs/matmuls: 'float32' | 'bfloat16'. The v5e
     # MXU runs bf16 ~4x faster than f32; quantizer grid math stays f32 and
     # accumulation is f32 (preferred_element_type), so only the 8-bit-grid
