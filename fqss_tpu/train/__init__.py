@@ -4,6 +4,7 @@ from fqss_tpu.train.state import TrainState, create_train_state
 from fqss_tpu.train.trainer import (
     EarlyStopping,
     ReduceLROnPlateau,
+    StepLR,
     TrainConfig,
     make_eval_step,
     make_optimizer,
@@ -18,5 +19,6 @@ __all__ = [
     "make_train_step",
     "make_eval_step",
     "ReduceLROnPlateau",
+    "StepLR",
     "EarlyStopping",
 ]

@@ -32,6 +32,7 @@ from fqss_tpu.train.state import create_train_state
 from fqss_tpu.train.trainer import (
     EarlyStopping,
     ReduceLROnPlateau,
+    StepLR,
     TrainConfig,
     make_eval_step,
     make_optimizer,
@@ -115,7 +116,16 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
 
     logger = RunLogger(work_dir, use_wandb=training_cfg.get("wandb", False), config=dict(conf))
     ckpt = CheckpointManager(work_dir)
-    plateau = ReduceLROnPlateau(factor=0.5, patience=5) if training_cfg.get("half_lr", True) else None
+    # Scheduler selection matches asteroid_librimix_trainer.py:95-101:
+    # half_lr -> ReduceLROnPlateau(0.5, patience); elif step_lr -> StepLR
+    # (the DPTNet config's scheduler, configs/dptnet_2spks_8k.yaml).
+    if training_cfg.get("half_lr", True):
+        plateau = ReduceLROnPlateau(factor=0.5, patience=training_cfg.get("patience", 5))
+    elif training_cfg.get("step_lr") is not None:
+        slr = training_cfg["step_lr"] or {}
+        plateau = StepLR(step_size=slr.get("step_size", 2), gamma=slr.get("gamma", 0.98))
+    else:
+        plateau = None
     stopper = EarlyStopping(30) if training_cfg.get("early_stop", True) else None
 
     # Resume: observer=False in the quantization cfg means "resume from

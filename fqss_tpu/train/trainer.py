@@ -230,6 +230,26 @@ class ReduceLROnPlateau:
         return state
 
 
+class StepLR:
+    """Host-side step scheduler writing TrainState.lr_scale.
+
+    Functional equivalent of torch StepLR as the asteroid recipe uses it for
+    DPTNet (asteroid_librimix_trainer.py:99-101, step_size=2, gamma=0.98;
+    configs/dptnet_2spks_8k.yaml): after epoch e the LR is
+    lr0 * gamma^floor((e+1)/step_size). Call update() once per epoch end.
+    """
+
+    def __init__(self, step_size: int = 2, gamma: float = 0.98):
+        self.step_size = max(1, int(step_size))
+        self.gamma = gamma
+        self.epochs = 0
+
+    def update(self, state: TrainState, val_loss: float | None = None) -> TrainState:
+        self.epochs += 1
+        scale = self.gamma ** (self.epochs // self.step_size)
+        return state.replace(lr_scale=jnp.asarray(scale, jnp.float32))
+
+
 class EarlyStopping:
     """EarlyStopping(patience) like the asteroid recipe's 30-epoch stopper
     (asteroid_librimix_trainer.py:119-123)."""

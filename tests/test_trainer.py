@@ -144,6 +144,21 @@ def test_lr_schedulers():
     assert not es.update(1.5)
     assert es.update(1.5)
 
+    # StepLR: the DPTNet scheduler (asteroid_librimix_trainer.py:99-101,
+    # step_size=2, gamma=0.98) — lr0 * gamma^floor(epochs/step_size).
+    from fqss_tpu.train import StepLR
+
+    slr = StepLR(step_size=2, gamma=0.5)
+    state, _ = _init_state(model, teacher, TrainConfig(), jnp.zeros((1, 2000)))
+    state = slr.update(state)  # after epoch 1
+    assert float(state.lr_scale) == 1.0
+    state = slr.update(state)  # after epoch 2 -> decay
+    assert float(state.lr_scale) == 0.5
+    state = slr.update(state)
+    assert float(state.lr_scale) == 0.5
+    state = slr.update(state)
+    assert float(state.lr_scale) == 0.25
+
 
 @pytest.mark.slow
 def test_threshold_byloss_keeps_hard_samples():
