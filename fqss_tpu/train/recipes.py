@@ -120,7 +120,12 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
     # half_lr -> ReduceLROnPlateau(0.5, patience); elif step_lr -> StepLR
     # (the DPTNet config's scheduler, configs/dptnet_2spks_8k.yaml).
     if training_cfg.get("half_lr", True):
-        plateau = ReduceLROnPlateau(factor=0.5, patience=training_cfg.get("patience", 5))
+        plateau = ReduceLROnPlateau(
+            factor=0.5,
+            patience=training_cfg.get("patience", 5),
+            # speechbrain's scheduler grace window (sepformer config: 20).
+            dont_halve_until_epoch=training_cfg.get("dont_halve_until_epoch", 0),
+        )
     elif training_cfg.get("step_lr") is not None:
         slr = training_cfg["step_lr"] or {}
         plateau = StepLR(step_size=slr.get("step_size", 2), gamma=slr.get("gamma", 0.98))

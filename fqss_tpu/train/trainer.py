@@ -208,19 +208,34 @@ class ReduceLROnPlateau:
 
     Functional equivalent of torch ReduceLROnPlateau as used by the asteroid
     recipe (asteroid_librimix_trainer.py:110-115: factor 0.5, patience 5).
+
+    ``dont_halve_until_epoch`` is the speechbrain scheduler's grace window
+    (configs/sepformer_2spks_8k.yaml: factor 0.5, patience 3, grace 20):
+    no reduction fires before that many update() calls have elapsed.
     """
 
-    def __init__(self, factor: float = 0.5, patience: int = 5, min_scale: float = 1e-4):
+    def __init__(
+        self,
+        factor: float = 0.5,
+        patience: int = 5,
+        min_scale: float = 1e-4,
+        dont_halve_until_epoch: int = 0,
+    ):
         self.factor = factor
         self.patience = patience
         self.min_scale = min_scale
+        self.dont_halve_until_epoch = dont_halve_until_epoch
         self.best = float("inf")
         self.bad_epochs = 0
+        self.epochs = 0
 
     def update(self, state: TrainState, val_loss: float) -> TrainState:
+        self.epochs += 1
         if val_loss < self.best:
             self.best = val_loss
             self.bad_epochs = 0
+            return state
+        if self.epochs <= self.dont_halve_until_epoch:
             return state
         self.bad_epochs += 1
         if self.bad_epochs > self.patience:

@@ -144,6 +144,17 @@ def test_lr_schedulers():
     assert not es.update(1.5)
     assert es.update(1.5)
 
+    # speechbrain grace window (sepformer config dont_halve_until_epoch=20):
+    # no reduction inside the window regardless of plateau length.
+    gr = ReduceLROnPlateau(factor=0.5, patience=0, dont_halve_until_epoch=3)
+    state, _ = _init_state(model, teacher, TrainConfig(), jnp.zeros((1, 2000)))
+    state = gr.update(state, 1.0)
+    state = gr.update(state, 2.0)  # bad, but inside grace window
+    state = gr.update(state, 2.0)  # still inside (epoch 3)
+    assert float(state.lr_scale) == 1.0
+    state = gr.update(state, 2.0)  # epoch 4: past window -> reduce
+    assert float(state.lr_scale) == 0.5
+
     # StepLR: the DPTNet scheduler (asteroid_librimix_trainer.py:99-101,
     # step_size=2, gamma=0.98) — lr0 * gamma^floor(epochs/step_size).
     from fqss_tpu.train import StepLR
