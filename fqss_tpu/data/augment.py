@@ -67,6 +67,83 @@ def speed_perturb(rng: np.random.Generator, wav: np.ndarray, speeds=(95, 100, 10
     return resample_audio(wav, 100, speed)
 
 
+def rand_shift(rng: np.random.Generator, wav: np.ndarray, min_shift: int = -8000, max_shift: int = 8000) -> np.ndarray:
+    """Random circular shift of one source (the speechbrain recipe's
+    use_rand_shift, speechbrain_librimix_trainer.py:284-295: torch.roll by
+    randint(min_shift, max_shift) per source before re-summing the mix)."""
+    s = int(rng.integers(min_shift, max_shift))
+    return np.roll(wav, s, axis=-1)
+
+
+def _notch_kernel(freq: float, length: int = 101, width: float = 0.05) -> np.ndarray:
+    """FIR notch filter (speechbrain notch_filter semantics): a normalized
+    low-pass sinc below the notch plus a spectral-inverted low-pass above it,
+    both Blackman-windowed. ``freq`` is in [0, 1] with 1 = Nyquist."""
+    pad = length // 2
+    t = np.arange(length, dtype=np.float64) - pad
+    freq = freq + width
+
+    def sinc(x):
+        out = np.sin(x) / np.where(x == 0, 1.0, x)
+        out[pad] = 1.0
+        return out
+
+    window = np.blackman(length)
+    hlpf = sinc(3.0 * (freq - width) * t) * window
+    hlpf /= hlpf.sum()
+    hhpf = sinc(3.0 * (freq + width) * t) * window
+    hhpf /= -hhpf.sum()
+    hhpf[pad] += 1.0
+    return (hlpf + hhpf).astype(np.float32)
+
+
+def drop_freq(
+    rng: np.random.Generator,
+    wav: np.ndarray,
+    drop_count_low: int = 1,
+    drop_count_high: int = 2,
+    drop_freq_low: float = 1e-14,
+    drop_freq_high: float = 1.0,
+    drop_width: float = 0.05,
+) -> np.ndarray:
+    """speechbrain DropFreq: notch-filter a few random frequencies out of the
+    mixture (half of the wavedrop TimeDomainSpecAugment,
+    configs/sepformer_2spks_8k.yaml drop_freq_prob)."""
+    n_drops = int(rng.integers(drop_count_low, drop_count_high + 1))
+    out = wav.astype(np.float32)
+    for _ in range(n_drops):
+        f = float(rng.uniform(drop_freq_low, drop_freq_high))
+        out = np.convolve(out, _notch_kernel(f, width=drop_width), mode="same")
+    return out
+
+
+def drop_chunk(
+    rng: np.random.Generator,
+    wav: np.ndarray,
+    drop_length_low: int = 100,
+    drop_length_high: int = 1000,
+    drop_count_low: int = 1,
+    drop_count_high: int = 10,
+) -> np.ndarray:
+    """speechbrain DropChunk: zero out random time chunks (the other half of
+    wavedrop)."""
+    n_drops = int(rng.integers(drop_count_low, drop_count_high + 1))
+    t = wav.shape[-1]
+    out = wav.copy()
+    for _ in range(n_drops):
+        length = min(int(rng.integers(drop_length_low, drop_length_high + 1)), t)
+        start = int(rng.integers(0, max(1, t - length)))
+        out[..., start : start + length] = 0.0
+    return out
+
+
+def wavedrop(rng: np.random.Generator, wav: np.ndarray) -> np.ndarray:
+    """TimeDomainSpecAugment(perturb_prob=0, drop_freq_prob=1,
+    drop_chunk_prob=1) applied to the MIXTURE only — the speechbrain
+    recipe's use_wavedrop path (speechbrain_librimix_trainer.py:70-72)."""
+    return drop_chunk(rng, drop_freq(rng, wav))
+
+
 def repitch(rng: np.random.Generator, wav: np.ndarray, max_pitch: int = 2, max_tempo: float = 12.0,
             sample_rate: int = 44100) -> np.ndarray:
     """Repitch/retempo augmentation (the htdemucs recipe's RepitchedWrapper):

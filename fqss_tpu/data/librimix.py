@@ -38,6 +38,9 @@ class LibriMix:
         augmentation_cfg: dict | None = None,
         speed_perturb: bool = False,
         speeds: tuple[int, ...] = (95, 100, 105),
+        rand_shift: bool = False,
+        shift_range: tuple[int, int] = (-8000, 8000),
+        wavedrop: bool = False,
         seed: int = 0,
     ):
         self.csv_dir = csv_dir
@@ -51,6 +54,11 @@ class LibriMix:
         # speed, mixture re-summed from the perturbed sources.
         self.speed_perturb = speed_perturb
         self.speeds = tuple(speeds)
+        # speechbrain use_rand_shift / use_wavedrop
+        # (speechbrain_librimix_trainer.py:70-72,284-295).
+        self.rand_shift = rand_shift
+        self.shift_range = tuple(shift_range)
+        self.wavedrop = wavedrop
         self.rng = np.random.default_rng(seed)
         self.pyrng = random.Random(seed)
 
@@ -132,8 +140,13 @@ class LibriMix:
         else:
             mixture = self._read(row["mixture_path"], start, stop)
 
-        if self.speed_perturb:
+        if self.speed_perturb or self.rand_shift:
             mixture, sources_arr = self._apply_speed_perturb(sources_arr, noise)
+
+        if self.wavedrop:
+            from fqss_tpu.data.augment import wavedrop as _wd
+
+            mixture = _wd(self.rng, mixture)
 
         return mixture.astype(np.float32), sources_arr.astype(np.float32)
 
@@ -149,9 +162,14 @@ class LibriMix:
         t_len = sources_arr.shape[-1]
         out = np.zeros_like(sources_arr)
         for i in range(sources_arr.shape[0]):
-            w = _sp(self.rng, sources_arr[i], speeds=self.speeds)
+            w = _sp(self.rng, sources_arr[i], speeds=self.speeds) if self.speed_perturb else sources_arr[i]
             n = min(t_len, w.shape[-1])
             out[i, :n] = w[:n]
+        if self.rand_shift:
+            from fqss_tpu.data.augment import rand_shift as _rs
+
+            for i in range(out.shape[0]):
+                out[i] = _rs(self.rng, out[i], *self.shift_range)
         mixture = out.sum(axis=0)
         if noise is not None and self.task in ("enh_single", "sep_noisy"):
             n = min(t_len, noise.shape[-1])

@@ -41,7 +41,14 @@ from fqss_tpu.train.trainer import (
 from fqss_tpu.utils.audio import set_seed
 
 
-def _make_datasets(dataset_cfg: Mapping[str, Any], seed: int, use_speedperturb: bool = False):
+def _make_datasets(
+    dataset_cfg: Mapping[str, Any],
+    seed: int,
+    use_speedperturb: bool = False,
+    use_rand_shift: bool = False,
+    shift_range: tuple[int, int] = (-8000, 8000),
+    use_wavedrop: bool = False,
+):
     name = dataset_cfg.get("name", "librimix")
     if name == "librimix":
         common = dict(
@@ -55,6 +62,9 @@ def _make_datasets(dataset_cfg: Mapping[str, Any], seed: int, use_speedperturb: 
             dataset_cfg["train_dir"],
             augmentation_cfg=dataset_cfg.get("augmentation"),
             speed_perturb=use_speedperturb,  # train-only (sb.Stage.TRAIN guard)
+            rand_shift=use_rand_shift,
+            shift_range=shift_range,
+            wavedrop=use_wavedrop,
             seed=seed,
             **common,
         )
@@ -74,10 +84,19 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
     set_seed(seed)
     dump_config(work_dir, dict(conf))
 
-    # speechbrain env: speed-perturb augment on the training set
-    # (speechbrain_librimix_trainer.py:52-57 use_speedperturb).
-    use_sp = env_name == "speechbrain" and training_cfg.get("use_speedperturb", True)
-    train_set, val_set = _make_datasets(dataset_cfg, seed, use_speedperturb=use_sp)
+    # speechbrain env: the TimeDomainSpecAugment family on the training set
+    # (speechbrain_librimix_trainer.py:52-72 use_speedperturb /
+    # use_rand_shift / use_wavedrop; sepformer config defaults: True/False/
+    # False, min_shift=-8000, max_shift=8000).
+    is_sb = env_name == "speechbrain"
+    use_sp = is_sb and training_cfg.get("use_speedperturb", True)
+    use_rs = is_sb and training_cfg.get("use_rand_shift", False)
+    use_wd = is_sb and training_cfg.get("use_wavedrop", False)
+    shift_range = (training_cfg.get("min_shift", -8000), training_cfg.get("max_shift", 8000))
+    train_set, val_set = _make_datasets(
+        dataset_cfg, seed, use_speedperturb=use_sp, use_rand_shift=use_rs,
+        shift_range=shift_range, use_wavedrop=use_wd,
+    )
     batch_size = training_cfg.get("batch_size", 2)
     seg_len = int(dataset_cfg.get("segment", 3) * dataset_cfg.get("sample_rate", 16000)
                   * dataset_cfg.get("resample", 1.0))

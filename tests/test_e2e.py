@@ -99,6 +99,48 @@ def test_librimix_speed_perturb(mini_dataset):
     assert changed  # at least one draw actually perturbed a source
 
 
+def test_librimix_rand_shift_and_wavedrop(mini_dataset):
+    """speechbrain use_rand_shift / use_wavedrop
+    (speechbrain_librimix_trainer.py:70-72,284-295): rand_shift circularly
+    rolls each source (mix re-summed, energy preserved); wavedrop
+    notch-filters + chunk-drops the MIXTURE only (sources untouched)."""
+    _, train_dir, _ = mini_dataset
+    base = LibriMix(train_dir, task="sep_clean", sample_rate=8000, n_src=2, segment=0.5, seed=7)
+    rs = LibriMix(train_dir, task="sep_clean", sample_rate=8000, n_src=2, segment=0.5,
+                  rand_shift=True, shift_range=(-500, 500), seed=7)
+    mix, src = rs[0]
+    np.testing.assert_allclose(mix, src.sum(0), atol=1e-6)  # mix re-summed
+    _, src0 = base[0]
+    assert not np.allclose(src, src0)  # actually rolled
+    np.testing.assert_allclose(  # circular shift preserves energy
+        np.sum(src**2, -1), np.sum(src0**2, -1), rtol=1e-5)
+
+    wd = LibriMix(train_dir, task="sep_clean", sample_rate=8000, n_src=2, segment=0.5,
+                  wavedrop=True, seed=7)
+    mix_wd, src_wd = wd[0]
+    np.testing.assert_allclose(src_wd, src0, atol=1e-6)  # sources untouched
+    assert not np.allclose(mix_wd, src_wd.sum(0))  # mixture filtered/dropped
+    assert np.sum(mix_wd == 0.0) >= 100  # drop_chunk zeroed at least one chunk
+
+
+def test_drop_freq_notch_attenuates_target_band():
+    from fqss_tpu.data.augment import _notch_kernel
+
+    # The kernel's sinc(3(f±w)n) construction puts the notch center at
+    # angular frequency 3*(f+w) rad/sample (the +w shift mirrors the
+    # speechbrain notch_filter). A probe tone there must be strongly
+    # attenuated; a far-away tone must survive.
+    f, w = 0.5, 0.05
+    kern = _notch_kernel(f, width=w)
+    n = np.arange(4000)
+    probe = np.sin(3.0 * (f + w) * n).astype(np.float32)
+    far = np.sin(0.3 * n).astype(np.float32)
+    att_probe = np.std(np.convolve(probe, kern, "same")) / np.std(probe)
+    att_far = np.std(np.convolve(far, kern, "same")) / np.std(far)
+    assert att_probe < 0.2, att_probe
+    assert att_far > 0.8, att_far
+
+
 @pytest.mark.slow
 def test_train_speech_recipe_end_to_end(mini_dataset):
     root, train_dir, val_dir = mini_dataset
