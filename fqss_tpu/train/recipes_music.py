@@ -237,11 +237,21 @@ def _train_music(conf: Mapping[str, Any], env: str) -> dict:
 
     sources = tuple(model_cfg.get("sources", ["drums", "bass", "other", "vocals"]))
     sample_rate = dataset_cfg.get("sample_rate", 44100)
-    samples = int(dataset_cfg.get("segment", 6) * sample_rate)
-    stride = int(dataset_cfg.get("data_stride", 1) * sample_rate)
+    # Accept both this repo's keys and the reference YAML spellings
+    # (reference configs/convtasnet_music.yaml: train_dir / metadata /
+    # segment_samples / data_stride-in-samples), so a reference config runs
+    # unchanged.
+    if "segment_samples" in dataset_cfg:
+        samples = int(dataset_cfg["segment_samples"])
+    else:
+        samples = int(dataset_cfg.get("segment", 6) * sample_rate)
+    stride_cfg = dataset_cfg.get("data_stride", 1)
+    # reference data_stride is in samples (44100); ours in seconds (1).
+    stride = int(stride_cfg) if stride_cfg >= 1000 else int(stride_cfg * sample_rate)
+    root = dataset_cfg.get("musdb_root") or dataset_cfg["train_dir"]
     train_set, valid_set = get_musdb_wav_datasets(
-        dataset_cfg["musdb_root"], stride, sample_rate, samples, sources,
-        metadata_file=dataset_cfg.get("metadata_file"),
+        root, stride, sample_rate, samples, sources,
+        metadata_file=dataset_cfg.get("metadata_file") or dataset_cfg.get("metadata"),
     )
 
     is_htd = env == "htdemucs"

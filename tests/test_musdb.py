@@ -109,6 +109,38 @@ def test_music_recipe_end_to_end(mini_musdb, tmp_path):
     assert len(sdr_vals) == 5 and np.isfinite(sdr_vals[0])
 
 
+@pytest.mark.slow
+def test_music_recipe_accepts_reference_config_spelling(mini_musdb, tmp_path):
+    """A reference YAML (configs/convtasnet_music.yaml) runs unchanged:
+    train_dir/metadata/segment_samples keys and data_stride in samples."""
+    conf = {
+        "work_dir": str(tmp_path / "work_ref"),
+        "model_cfg": {
+            "name": "ConvTasNetMusic",
+            "sources": list(SOURCES),
+            "audio_channels": 2,
+            "n_filters": 16, "kernel_size": 20, "stride": 10,
+            "bn_chan": 8, "hid_chan": 16, "n_blocks": 2, "n_repeats": 1,
+            "quantization": {"qat": True, "observer": True},
+        },
+        "dataset_cfg": {
+            "train_dir": mini_musdb,          # reference spelling of musdb_root
+            "metadata": None,                  # reference spelling of metadata_file
+            "sample_rate": 8000,
+            "segment_samples": 4000,           # reference: samples, not seconds
+            "data_stride": 2000,               # reference: samples (>=1000)
+            "augmentation": {"enable": False},
+        },
+        "training_cfg": {"epochs": 1, "batch_size": 2, "kd_lambda": 0.1, "seed": 0,
+                          "optim": {"lr": 1e-3}},
+        "testing_cfg": {"test_dir": mini_musdb, "overlap": 0.25, "segment_samples": 4000},
+    }
+    from fqss_tpu.train.recipes_music import train_tasnet_music
+
+    result = train_tasnet_music(conf)
+    assert np.isfinite(result["best_loss"])
+
+
 def test_repitched_wavset_static_shape(mini_musdb):
     from fqss_tpu.data.musdb import RepitchedWavset, build_metadata
 
