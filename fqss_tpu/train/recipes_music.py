@@ -224,7 +224,79 @@ def _is_better(candidate: float, incumbent: float, metric: str) -> bool:
     return candidate < incumbent
 
 
+def _hydra_compat(conf: Mapping[str, Any]) -> Mapping[str, Any]:
+    """Map the reference hydra/dora htdemucs schema onto the plain schema.
+
+    The reference configs/htdemucs.yaml keeps dataset/optimizer/augment/EMA
+    settings in top-level hydra groups (``dset``, ``optim``, ``augment``,
+    ``ema``, ``test``, ``epochs``, ``batch_size``, ``kd_lambda``,
+    ``weights``, ``pretrained``, ``continue_from`` — reference
+    train_env/htdemucs_musdbhq/train.py:122-231). When a ``dset`` group is
+    present, synthesize this repo's dataset_cfg/training_cfg so the
+    reference file runs unchanged; explicit plain-schema keys win.
+    """
+    if "dset" not in conf:
+        return conf
+    c = {k: v for k, v in conf.items()}
+    dset = dict(conf.get("dset") or {})
+    aug = dict(conf.get("augment") or {})
+    optim = dict(conf.get("optim") or {})
+
+    ds = dict(c.get("dataset_cfg") or {})
+    ds.setdefault("name", "musdbhq")
+    if dset.get("musdb"):
+        ds.setdefault("musdb_root", dset["musdb"])
+    sr = dset.get("samplerate", 44100)
+    ds.setdefault("sample_rate", sr)
+    ds.setdefault("segment", dset.get("segment", 10))
+    ds.setdefault("data_stride", dset.get("shift", 1))
+    meta = dset.get("metadata")
+    if meta:
+        ds.setdefault("metadata_file", os.path.join(meta, "musdbhq.json") if os.path.isdir(meta) else meta)
+    remix = dict(aug.get("remix") or {})
+    scale = dict(aug.get("scale") or {})
+    repitch = dict(aug.get("repitch") or {})
+    ds.setdefault("augmentation", {
+        "enable": True,
+        # demucs Shift(shift=samplerate * dset.shift) (train.py:191-199)
+        "shift": int(sr * dset.get("shift", 1)),
+        "flip": bool(aug.get("flip", True)),
+        "scale": bool(scale.get("proba", 1)),
+        "remix_group_size": int(remix.get("group_size", 4)) if remix.get("proba", 1) else 0,
+        "repitch": {
+            "proba": repitch.get("proba", 0.2),
+            "max_tempo": repitch.get("max_tempo", 12),
+        },
+    })
+    c["dataset_cfg"] = ds
+
+    mc = dict(c.get("model_cfg") or {})
+    if dset.get("sources"):
+        mc.setdefault("sources", list(dset["sources"]))
+    if dset.get("channels"):
+        mc.setdefault("audio_channels", int(dset["channels"]))
+    c["model_cfg"] = mc
+
+    tc = dict(c.get("training_cfg") or {})
+    for key in ("epochs", "batch_size", "kd_lambda", "seed", "weights",
+                "pretrained", "continue_from", "continue_best", "ema"):
+        if key in conf and conf[key] is not None:
+            tc.setdefault(key, conf[key])
+    if optim:
+        tc.setdefault("optim", {
+            "lr": optim.get("lr", 3e-4),
+            "weight_decay": optim.get("weight_decay", 0.0),
+            "optimizer": optim.get("optim", "adam"),
+            "clip_grad": optim.get("clip_grad", 0.0),
+        })
+    if "test" in conf and conf["test"]:
+        tc.setdefault("test", dict(conf["test"]))
+    c["training_cfg"] = tc
+    return c
+
+
 def _train_music(conf: Mapping[str, Any], env: str) -> dict:
+    conf = _hydra_compat(conf)
     work_dir = conf["work_dir"]
     model_cfg = conf["model_cfg"]
     dataset_cfg = conf.get("dataset_cfg", {})

@@ -109,6 +109,48 @@ def test_music_recipe_end_to_end(mini_musdb, tmp_path):
     assert len(sdr_vals) == 5 and np.isfinite(sdr_vals[0])
 
 
+def test_hydra_compat_maps_reference_htdemucs_schema():
+    """The reference hydra config (configs/htdemucs.yaml: dset/optim/augment/
+    ema/test top-level groups) maps onto the plain schema."""
+    from fqss_tpu.train.recipes_music import _hydra_compat
+
+    conf = {
+        "work_dir": "/tmp/x",
+        "model_cfg": {"name": "HTDemucs", "quantization": {"qat": True}},
+        "dataset_cfg": {"name": "musdbhq"},
+        "testing_cfg": {"test_dir": "/d", "segment_samples": 343980, "overlap": 0.25},
+        "dset": {"musdb": "/storage/musdb18hq", "samplerate": 44100, "segment": 10,
+                  "shift": 1, "channels": 2, "metadata": "/nonexistent/meta.json",
+                  "sources": ["drums", "bass", "other", "vocals"]},
+        "epochs": 90, "batch_size": 32, "kd_lambda": 0.1, "seed": 42,
+        "weights": [1.0, 1.0, 1.0, 1.0],
+        "optim": {"lr": 3e-4, "momentum": 0.9, "beta2": 0.999, "loss": "l1",
+                   "optim": "adam", "weight_decay": 0, "clip_grad": 0},
+        "augment": {"shift_same": False, "repitch": {"proba": 0.2, "max_tempo": 12},
+                     "remix": {"proba": 1, "group_size": 4},
+                     "scale": {"proba": 1, "min": 0.25, "max": 1.25}, "flip": True},
+        "ema": {"epoch": [0.9, 0.95], "batch": [0.9995, 0.9999]},
+        "test": {"every": 20, "best": True, "metric": "loss"},
+        "pretrained": "/some/float.pth",
+    }
+    out = _hydra_compat(conf)
+    ds, tc, mc = out["dataset_cfg"], out["training_cfg"], out["model_cfg"]
+    assert ds["musdb_root"] == "/storage/musdb18hq"
+    assert ds["segment"] == 10 and ds["data_stride"] == 1
+    assert ds["augmentation"]["shift"] == 44100
+    assert ds["augmentation"]["remix_group_size"] == 4
+    assert ds["augmentation"]["repitch"]["proba"] == 0.2
+    assert mc["sources"][0] == "drums" and mc["audio_channels"] == 2
+    assert tc["epochs"] == 90 and tc["batch_size"] == 32 and tc["seed"] == 42
+    assert tc["optim"]["lr"] == 3e-4 and tc["optim"]["optimizer"] == "adam"
+    assert tc["ema"]["batch"] == [0.9995, 0.9999]
+    assert tc["test"]["every"] == 20
+    assert tc["pretrained"] == "/some/float.pth"
+    # plain-schema configs pass through untouched
+    plain = {"work_dir": "/x", "model_cfg": {}, "dataset_cfg": {"musdb_root": "/d"}}
+    assert _hydra_compat(plain) is plain
+
+
 @pytest.mark.slow
 def test_music_recipe_accepts_reference_config_spelling(mini_musdb, tmp_path):
     """A reference YAML (configs/convtasnet_music.yaml) runs unchanged:
