@@ -166,6 +166,11 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
 
     epochs = training_cfg.get("epochs", 50)
     best_val = float("inf")
+    # speechbrain Checkpointer time-based interval (sepformer config
+    # ckpt_interval_minutes: 60) — export the latest state mid-epoch so long
+    # epochs survive preemption.
+    ckpt_interval_s = 60.0 * float(training_cfg.get("ckpt_interval_minutes", 0) or 0)
+    last_ckpt_t = time.time()
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
@@ -173,6 +178,10 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
             bmix, bsrc = shard_batch((mix, src), mesh)
             state, metrics = train_step(state, bmix, bsrc)
             losses.append(float(metrics["loss"]))
+            if ckpt_interval_s and time.time() - last_ckpt_t >= ckpt_interval_s:
+                _export_state(work_dir, "latest_model.npz", state)
+                save_log(work_dir, f"interval checkpoint (epoch {epoch})")
+                last_ckpt_t = time.time()
 
         val_losses = []
         for mix, src in batch_iterator(val_set, batch_size, shuffle=False, seed=seed, epoch=epoch):

@@ -45,6 +45,9 @@ def _smoke_conf(root, train_dir, val_dir):
         },
         "training_cfg": {
             "epochs": 2, "batch_size": 2, "half_lr": True, "early_stop": True,
+            # time-based mid-epoch checkpointing (speechbrain
+            # ckpt_interval_minutes); tiny interval -> fires on every batch
+            "ckpt_interval_minutes": 1e-6,
             "pretrained": None, "seed": 0, "kd_lambda": 0.1,
             "optim": {"optimizer": "adam", "lr": 0.001, "weight_decay": 0.0},
         },
@@ -154,6 +157,7 @@ def test_train_speech_recipe_end_to_end(mini_dataset):
     assert os.path.exists(os.path.join(work, "best_model.npz"))
     assert os.path.exists(os.path.join(work, "latest_model.npz"))
     assert os.path.exists(os.path.join(work, "results.txt"))
+    assert "interval checkpoint" in open(os.path.join(work, "results.txt")).read()
     hist = json.load(open(os.path.join(work, "history.json")))
     assert len(hist) == 2
 
