@@ -72,13 +72,13 @@ def timeit(fn, *args, n=10):
     return (time.perf_counter() - t0) / n
 
 
-def bench_case(name: str, engines: bool = False, pallas_lstm: bool = False):
+def bench_case(name: str, engines: bool = False, pallas_lstm: bool = False, pallas_attn: bool = False):
     c = CASES[name]
     T = int(c["seconds"] * c["sr"])
     shape = (c["batch"], 2, T) if c["stereo"] else (c["batch"], T)
     x = jax.random.uniform(jax.random.PRNGKey(0), shape, minval=-1.0, maxval=1.0)
     for dtype in ("float32", "bfloat16"):
-        q = dataclasses.replace(Q, compute_dtype=dtype, pallas_lstm=pallas_lstm)
+        q = dataclasses.replace(Q, compute_dtype=dtype, pallas_lstm=pallas_lstm, pallas_attn=pallas_attn)
         model = build(name, q)
         try:
             variables = model.init(jax.random.PRNGKey(1), x)
@@ -109,9 +109,10 @@ def main():
     names = [a for a in sys.argv[1:] if not a.startswith("-")] or list(CASES)
     engines = "--engines" in sys.argv
     pallas_lstm = "--pallas-lstm" in sys.argv
+    pallas_attn = "--pallas-attn" in sys.argv
     print(f"device: {jax.devices()}", flush=True)
     for n in names:
-        bench_case(n, engines=engines, pallas_lstm=pallas_lstm)
+        bench_case(n, engines=engines, pallas_lstm=pallas_lstm, pallas_attn=pallas_attn)
 
 
 if __name__ == "__main__":
