@@ -63,6 +63,7 @@ def test_dptnet_converter_parity():
     np.testing.assert_allclose(np.asarray(y), yt, rtol=1e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_sepformer_converter_parity():
     import torch
 

@@ -109,6 +109,7 @@ def test_float_parity_with_reference_torch_model():
     np.testing.assert_allclose(np.asarray(y), yt, rtol=1e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_merge_float_params_into_qat_tree():
     """Float->QAT weight loading keeps QAT-only params and widens the encoder
     (regression: the combiner's residual block params must survive)."""

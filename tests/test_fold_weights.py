@@ -7,6 +7,7 @@ model family's layer kinds (convs, dense, LSTM, MHA weight quantizers).
 import dataclasses
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +27,7 @@ def _ranged(q, x):
     return run_observer(obs, var, x, steps=55)
 
 
+@pytest.mark.slow
 def test_fold_weights_convtasnet_bitwise():
     q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
     model = ConvTasNet(q=q, **ARCH)
@@ -39,6 +41,7 @@ def test_fold_weights_convtasnet_bitwise():
     np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
 
 
+@pytest.mark.slow
 def test_fold_weights_music_linear_decoder_bitwise():
     """QLinearDecoder with n_combiner=2: the Dense combiner's
     residual_encoder_kernel (quantizer scope 'weight_fake_quantize',

@@ -58,6 +58,7 @@ def _setup(q=QuantSpec()):
     return fresh, step, mix, src
 
 
+@pytest.mark.slow
 def test_fsdp_train_step_matches_single_device():
     fresh, step, mix, src = _setup()
     s_ref, m_ref = step(fresh(), mix, src)
@@ -98,6 +99,7 @@ def test_fsdp_qat_train_step_runs():
     assert int(s1.step) == 1
 
 
+@pytest.mark.slow
 def test_tp_fsdp_compose():
     """TP-sharded transformer leaves survive shard_state_fsdp untouched."""
     from fqss_tpu.models.sepformer import Sepformer

@@ -19,6 +19,7 @@ from fqss_tpu.quant import QuantSpec
 FLOATQ = QuantSpec()
 
 
+@pytest.mark.slow
 def test_multiwrap_encoder_equals_unsplit():
     kw = dict(chout=8, kernel_size=8, stride=4, freq=True, norm=False,
               context=0, dconv_depth=1, dconv_comp=2.0)

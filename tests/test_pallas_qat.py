@@ -94,6 +94,7 @@ def _dense_inputs(M, K, N, arange=3.0):
     return x, w, b, wmn, wmx, amn, amx, g
 
 
+@pytest.mark.slow
 def test_qat_dense_small_exact():
     from fqss_tpu.ops.pallas_qat import qat_dense
 

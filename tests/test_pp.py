@@ -57,7 +57,10 @@ def test_layer_stack_vars_stacks_in_order():
         assert jnp.array_equal(a, b)
 
 
-@pytest.mark.parametrize("n_microbatches", [2, 4, 8])  # incl. M < stages
+@pytest.mark.parametrize(
+    "n_microbatches",
+    [2, pytest.param(4, marks=pytest.mark.slow), pytest.param(8, marks=pytest.mark.slow)],
+)  # incl. M < stages; one param stays in the fast tier
 def test_pipeline_forward_matches_sequential_float(n_microbatches):
     layer, variables, per_layer, x = _stack()
     mesh = _mesh(4)
@@ -67,6 +70,7 @@ def test_pipeline_forward_matches_sequential_float(n_microbatches):
     np.testing.assert_allclose(np.asarray(y_pipe), np.asarray(y_seq), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_multiple_layers_per_stage():
     layer, variables, per_layer, x = _stack(n_layers=8)
     mesh = _mesh(4)  # 2 layers per stage, scanned in order
@@ -76,6 +80,7 @@ def test_pipeline_multiple_layers_per_stage():
     np.testing.assert_allclose(np.asarray(y_pipe), np.asarray(y_seq), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_quantized_stack():
     q = QuantSpec(qat=True, observer=False)
     layer, variables, per_layer, x = _stack(q=q)
@@ -88,6 +93,7 @@ def test_pipeline_quantized_stack():
     assert np.abs(y_pipe - y_seq).max() <= 1e-2 * scale + 1e-6
 
 
+@pytest.mark.slow
 def test_pipeline_gradient_matches_sequential():
     layer, variables, per_layer, x = _stack()
     mesh = _mesh(4)

@@ -8,6 +8,7 @@ import csv
 import os
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +31,7 @@ def _make_testset(root, n_files=2, n_spks=2, T=4000, sr=8000):
         save_audio(os.path.join(root, "mix_clean", f"utt{i}.wav"), srcs.sum(axis=0)[None], sr)
 
 
+@pytest.mark.slow
 def test_save_results_csv(tmp_path):
     test_dir = str(tmp_path / "test")
     work_dir = str(tmp_path / "work")

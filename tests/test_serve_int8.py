@@ -187,6 +187,7 @@ def test_music_engine_agrees_at_grid_noise_floor():
     assert snr >= snr_self - 3.0, f"music engine SNR {snr:.1f} vs self {snr_self:.1f}"
 
 
+@pytest.mark.slow
 def test_engine_guards_non8bit_input_grid():
     """in_quant with a non-8-bit or mu-law input quantizer must be refused:
     _requant clips to [0,255] and assumes a linear grid (advisor r2 #2)."""
@@ -218,6 +219,7 @@ def test_engine_guards_non8bit_input_grid():
         ConvTasNetMusicInt8Engine(model, var)
 
 
+@pytest.mark.slow
 def test_engine_constructs_without_out_quant():
     """out_quant=False checkpoints have no decoder activation quantizer;
     engine construction must not KeyError (advisor r2 #3)."""

@@ -33,6 +33,7 @@ def _ranged(model_cls, q, arch, x, steps=60):
     return run_observer(obs, var, x, steps=steps)
 
 
+@pytest.mark.slow
 def test_sepformer_engine_agrees_at_grid_noise_floor():
     from fqss_tpu.models.sepformer import Sepformer
     from fqss_tpu.serve.sepformer_int8 import SepformerInt8Engine
@@ -57,6 +58,7 @@ def test_sepformer_engine_agrees_at_grid_noise_floor():
     assert float(jnp.mean(jnp.abs(y - y_ref))) <= 1.5 * lsb
 
 
+@pytest.mark.slow
 def test_sepformer_engine_single_plane_no_in_quant():
     from fqss_tpu.models.sepformer import Sepformer
     from fqss_tpu.serve.sepformer_int8 import SepformerInt8Engine
@@ -88,6 +90,7 @@ DPT_ARCH = dict(n_srcs=2, kernel_size=2, enc_dim=32, feature_dim=16,
                 hidden_dim=16, layer=2, segment_size=20)
 
 
+@pytest.mark.slow
 def test_dptnet_engine_agrees_at_grid_noise_floor():
     from fqss_tpu.models.dptnet import DPTNet
     from fqss_tpu.serve.dptnet_int8 import DPTNetInt8Engine

@@ -66,6 +66,7 @@ def test_tp_forward_matches_replicated_float():
     np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tp_forward_qat_agrees_to_grid_noise():
     """QAT forward under TP: agreement up to isolated grid-LSB flips.
 
