@@ -57,12 +57,21 @@ def _round_up(x: int, m: int) -> int:
 
 
 def supported(lq: int, lk: int, d: int) -> bool:
-    """Shapes whose per-step working set fits comfortably in VMEM."""
+    """Shapes where the fusion fits in VMEM AND is profitable.
+
+    Profitability: the kernel pads Lk and d up to the 128-lane tile, so for
+    short sequences (e.g. Sepformer's inter-chunk attention, L ≈ n_chunks ≈
+    32) the padding waste plus per-grid-step overhead loses to XLA's batched
+    bmm — measured 2.6x slower at the full-Sepformer level when fused
+    unconditionally, vs 44x faster on the long intra-chunk shapes. Gate on
+    the [Lq, Lk] logit panel being at least one full 128x128 tile: that is
+    exactly when XLA's HBM round-trip of the logits is material.
+    """
     dp = _round_up(d, _LANE)
     lkp = _round_up(lk, _LANE)
     tq = min(_round_up(lq, _SUB), 512)
     words = tq * dp + 2 * lkp * dp + tq * lkp + tq * dp
-    return d <= 2 * _LANE and words <= _MAX_VMEM_WORDS
+    return d <= 2 * _LANE and lq >= _LANE and lk >= _LANE and words <= _MAX_VMEM_WORDS
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mn_ref, mx_ref, o_ref, *, n_bits: int, lk: int, lkp: int):
