@@ -27,10 +27,26 @@ def _rand(key, *shape):
     return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
 
 
-@pytest.mark.parametrize("lq,lk,d", [(37, 37, 24), (40, 53, 16), (256, 128, 64)])
-def test_fused_matches_xla(lq, lk, d):
-    from fqss_tpu.ops.pallas_attention import _attention_xla, fused_attention
+# kernel=True rows MUST route through the Pallas kernel (supported());
+# kernel=False rows check the small-shape XLA fallback stays correct.
+# (250, 250, 32) is the production Sepformer intra-chunk shape: Lk=250 -> Lkp=256
+# exercises the key-padding mask branch AND the Lq tail padding (250 % 8 != 0);
+# (136, 200, 64) is off-tile on both axes; (520, 136, 32) needs a 2-tile q grid.
+@pytest.mark.parametrize(
+    "lq,lk,d,kernel",
+    [
+        (37, 37, 24, False),
+        (40, 53, 16, False),
+        (256, 128, 64, True),
+        (250, 250, 32, True),
+        (136, 200, 64, True),
+        (520, 136, 32, True),
+    ],
+)
+def test_fused_matches_xla(lq, lk, d, kernel):
+    from fqss_tpu.ops.pallas_attention import _attention_xla, fused_attention, supported
 
+    assert supported(lq, lk, d) == kernel
     bh = 3
     qs, k, v = _rand(0, bh, lq, d) * 0.3, _rand(1, bh, lk, d), _rand(2, bh, lk, d)
     mn = jnp.full((1,), -0.7, jnp.float32)
@@ -57,10 +73,14 @@ def test_fused_grad_matches_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
-def test_qmha_pallas_equals_xla_path():
+# L=21 exercises the module-level small-shape fallback routing; L=150 (per-head
+# d=E/h=4, Lkp=256 mask + Lq%8!=0 tail) actually runs the kernel from inside
+# QMultiheadAttention, keeping the fused routing in nn/attention.py exercised.
+@pytest.mark.parametrize("L", [21, 150])
+def test_qmha_pallas_equals_xla_path(L):
     from fqss_tpu.nn.attention import QMultiheadAttention
 
-    E, h, B, L = 16, 4, 2, 21
+    E, h, B = 16, 4, 2
     q0 = QuantSpec(qat=True, observer=False)
     x = _rand(5, B, L, E)
     m0 = QMultiheadAttention(E, h, q=q0)
