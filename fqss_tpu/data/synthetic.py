@@ -84,3 +84,52 @@ def synth_band_batch(
     peak = np.abs(mix).max(axis=-1, keepdims=True) + 1e-8
     scale = np.minimum(1.0, 0.9 / peak)
     return (mix * scale).astype(np.float32), (src * scale[:, None]).astype(np.float32)
+
+
+_MUSIC_BANDS = ((60.0, 300.0), (350.0, 900.0), (1000.0, 1900.0), (2200.0, 3400.0))
+
+
+def synth_music_batch(
+    rng: np.random.Generator,
+    batch: int,
+    length: int,
+    sample_rate: int = 8000,
+    n_stems: int = 4,
+    band_disjoint: bool = True,
+) -> np.ndarray:
+    """Stereo multi-stem 'music' batch [B, S, 2, T] for the music QAT
+    quality experiment (the stereo/4-stem analog of synth_band_sources).
+
+    Each stem is a tone stack with an AM envelope, rendered to two channels
+    with a per-stem stereo image (per-channel gain + interaural phase).
+    ``band_disjoint=True`` confines each stem to its own frequency band — an
+    easy task that exposes the 8-bit I/O ceiling the FQSS splitter/combiner
+    lifts; ``False`` draws all stems from the same wide band (the hard task,
+    where accuracy is model-limited instead). The mixture (sum of stems) is
+    peak-normalized to 0.9, matching the music trainers' mix = sources.sum(1)
+    convention (musdbhq_train.py:60-66).
+    """
+    t = np.arange(length) / sample_rate
+    out = np.zeros((batch, n_stems, 2, length), np.float32)
+    for b in range(batch):
+        for s in range(n_stems):
+            f_lo, f_hi = _MUSIC_BANDS[s % len(_MUSIC_BANDS)] if band_disjoint else (80.0, 3400.0)
+            pan = rng.uniform(0.2, 0.8)  # constant-power stereo position
+            gains = (np.cos(pan * np.pi / 2), np.sin(pan * np.pi / 2))
+            itd = rng.uniform(0.0, 2e-4)  # interaural delay, seconds
+            sig_ch = []
+            tones = [
+                (rng.uniform(f_lo, f_hi), rng.uniform(0.3, 1.0), rng.uniform(0, 2 * np.pi))
+                for _ in range(6)
+            ]
+            env = 1.0 + 0.5 * np.sin(2 * np.pi * rng.uniform(0.3, 2.0) * t + rng.uniform(0, 2 * np.pi))
+            for ch, g in enumerate(gains):
+                sig = np.zeros(length, np.float64)
+                for f0, a, ph in tones:
+                    sig += a * np.sin(2 * np.pi * f0 * (t - ch * itd) + ph)
+                sig_ch.append(g * sig * env)
+            stem = np.stack(sig_ch)
+            out[b, s] = rng.uniform(0.4, 1.0) * stem / (np.abs(stem).max() + 1e-8)
+        mix_peak = np.abs(out[b].sum(axis=0)).max() + 1e-8
+        out[b] *= min(1.0, 0.9 / mix_peak)
+    return out

@@ -184,6 +184,15 @@ def create_pretrained_model(model_cfg: Mapping[str, Any], example_input, observe
     q = quant_spec_from_cfg(model_cfg, observer)
     model = create_model(model_cfg, q)
     variables = load_pretrained_variables(model, model_cfg.get("model_path"), example_input)
+    # A state exported mid-observer carries full MSE histograms but no
+    # calibrated ranges (the reference would calibrate inline on the next
+    # forward, qat_quant.py:306-326); finish the calibration on import so
+    # eval/serving quantizes instead of silently running the float branch.
+    if variables.get("qstats"):
+        from fqss_tpu.quant.calibration import calibrate_mse_quantizers, has_pending_mse
+
+        if has_pending_mse(variables["qstats"]):
+            variables = calibrate_mse_quantizers(variables)
     return model, variables
 
 

@@ -80,11 +80,13 @@ def make_act_quantizer(
         return None
     bits = q.act_n_bits if n_bits is None else n_bits
     if nl_quant:
-        return ActQuantizer(n_bits=bits, kind="mulaw", gradient_based=q.gradient_based, observer=q.observer, name=name)
+        return ActQuantizer(n_bits=bits, kind="mulaw", gradient_based=q.gradient_based, observer=q.observer,
+                            max_observations=q.max_observations, name=name)
     if q.act_quantizer == "mse":
-        return MseActQuantizer(n_bits=bits, gradient_based=q.gradient_based, observer=q.observer, name=name)
+        return MseActQuantizer(n_bits=bits, gradient_based=q.gradient_based, observer=q.observer,
+                               max_observations=q.max_observations, name=name)
     return ActQuantizer(n_bits=bits, gradient_based=q.gradient_based, observer=q.observer,
-                        use_pallas=q.pallas_qat, name=name)
+                        max_observations=q.max_observations, use_pallas=q.pallas_qat, name=name)
 
 
 def make_weight_quantizer(

@@ -1,6 +1,6 @@
 """Quantization core: bit-faithful fake-quant math, STE rules, quantizer modules."""
 
-from fqss_tpu.quant.calibration import calibrate_mse_quantizers, run_observer
+from fqss_tpu.quant.calibration import calibrate_mse_quantizers, has_pending_mse, run_observer
 from fqss_tpu.quant.fake_quant import (
     fix_range_to_include_zero,
     linear_fake_quant,
@@ -32,6 +32,7 @@ __all__ = [
     "QSTATS",
     "run_observer",
     "calibrate_mse_quantizers",
+    "has_pending_mse",
     "linear_fake_quant",
     "mulaw_fake_quant",
     "splitter_quantize",

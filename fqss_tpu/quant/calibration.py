@@ -11,11 +11,43 @@ winning ranges back into ``qparams`` — the functional analog of
 
 from __future__ import annotations
 
+from typing import Mapping
+
 import numpy as np
 
 import jax
 
 from fqss_tpu.quant.quantizers import QPARAMS, QSTATS
+
+# MseActQuantizer.max_observations default — the observer window length after
+# which the reference's MSE quantizer self-calibrates (qat_quant.py:306-326).
+DEFAULT_OBSERVER_WINDOW = 50
+
+
+def has_pending_mse(qstats) -> bool:
+    """True if the qstats tree holds any MSE histogram not yet calibrated.
+
+    Used by the recipes to decide whether a training run needs the host-side
+    calibration pass at the observer-window boundary, and by the factory to
+    finish calibration when importing a state saved mid-observer.
+    """
+    if not qstats:
+        return False
+    pending = False
+
+    def walk(node):
+        nonlocal pending
+        if pending or not isinstance(node, Mapping):
+            return
+        if "hist" in node and "calibrated" in node:
+            if not bool(np.asarray(jax.device_get(node["calibrated"]))):
+                pending = True
+            return
+        for v in node.values():
+            walk(v)
+
+    walk(qstats)
+    return pending
 
 
 def run_observer(model, variables: dict, x, steps: int = 55, **apply_kwargs) -> dict:

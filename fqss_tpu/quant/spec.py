@@ -40,6 +40,10 @@ class QuantSpec:
     train_res_dec: bool = False
     # TPU-build extensions (reference equivalents are code-level choices):
     act_quantizer: str = "linear"  # 'linear' | 'mse'
+    # Observer window length (EMA steps / histogram observations) — the
+    # reference hard-codes 50 (qat_quant.py:219 max_iter_to_observe);
+    # configurable here so smoke configs can close the window quickly.
+    max_observations: int = 50
     lstm_mode: str = "fused"  # 'fused' | 'static' | 'dynamic' (qat_layers.py:571-862)
     # Route the quantizer hot ops through the custom-VJP Pallas training
     # kernels (ops/pallas_qat.py): fwd AND bwd are single-VMEM-pass kernels

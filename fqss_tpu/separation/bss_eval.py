@@ -8,12 +8,15 @@ images variant as shipped in museval/bsseval v4:
 Given true source images s_j [C, W] and estimates e_j [C, W], each window
 builds the least-squares projections of every estimate channel onto the
 {0..L-1}-shifted copies of (a) source j's channels and (b) ALL sources'
-channels (distortion filter length L = 512 by default):
+channels (distortion filter length L = 512 by default). Following museval's
+``_bss_decomp_mtifilt_images`` exactly, the decomposition lives on the
+zero-padded support [0, W+L-1): s_true and e_j are zero-padded and the
+projections keep their filter-ringing tail:
 
-    s_true   = s_j
-    e_spat   = P_j(e_j)   - s_j
+    s_true   = pad(s_j)
+    e_spat   = P_j(e_j)   - s_true
     e_interf = P_all(e_j) - P_j(e_j)
-    e_artif  = e_j        - P_all(e_j)
+    e_artif  = pad(e_j)   - P_all(e_j)
 
     SDR = 10 log10 |s_true|^2 / |e_spat + e_interf + e_artif|^2
     ISR = 10 log10 |s_true|^2 / |e_spat|^2
@@ -76,12 +79,14 @@ def _bss_eval_window(refs: Array, ests: Array, filter_length: int = 512):
 
     coef_all = jnp.linalg.solve(G, D)  # projection onto ALL refs' shifts
 
+    wp = w + L - 1  # padded support (museval keeps the projection tail)
+
     def _apply(coef: Array) -> Array:
-        """coef [M*L, S*C] -> projected time series [S, C, W]."""
+        """coef [M*L, S*C] -> projected time series [S, C, W+L-1]."""
         h = coef.reshape(m, L, s * c)
         hf = jnp.fft.rfft(h, nfft, axis=1)  # [M, F, S*C]
         pf = jnp.einsum("mf,mfk->kf", rf, hf)
-        return jnp.fft.irfft(pf, nfft)[:, :w].reshape(s, c, w)
+        return jnp.fft.irfft(pf, nfft)[:, :wp].reshape(s, c, wp)
 
     p_all = _apply(coef_all)  # [S, C, W] for every estimate
 
@@ -99,20 +104,22 @@ def _bss_eval_window(refs: Array, ests: Array, filter_length: int = 512):
         h = coef.reshape(c, L, c)
         hf = jnp.fft.rfft(h, nfft, axis=1)  # [C, F, C]
         pf = jnp.einsum("mf,mfk->kf", j_rf, hf)
-        return jnp.fft.irfft(pf, nfft)[:, :w]
+        return jnp.fft.irfft(pf, nfft)[:, :wp]
 
-    p_j = jax.vmap(_apply_j)(coef_j, rfb)  # [S, C, W]
+    p_j = jax.vmap(_apply_j)(coef_j, rfb)  # [S, C, W+L-1]
 
-    s_true = refs
+    pad = ((0, 0), (0, 0), (0, L - 1))
+    s_true = jnp.pad(refs, pad)
+    ests_p = jnp.pad(ests, pad)
     e_spat = p_j - s_true
     e_interf = p_all - p_j
-    e_artif = ests - p_all
+    e_artif = ests_p - p_all
 
     def energy(x):
         return jnp.sum(x**2, axis=(1, 2))
 
     eps_e = 1e-12
-    sdr = 10.0 * jnp.log10((energy(s_true) + eps_e) / (energy(ests - s_true) + eps_e))
+    sdr = 10.0 * jnp.log10((energy(s_true) + eps_e) / (energy(ests_p - s_true) + eps_e))
     isr = 10.0 * jnp.log10((energy(s_true) + eps_e) / (energy(e_spat) + eps_e))
     sir = 10.0 * jnp.log10((energy(s_true + e_spat) + eps_e) / (energy(e_interf) + eps_e))
     sar = 10.0 * jnp.log10((energy(s_true + e_spat + e_interf) + eps_e) / (energy(e_artif) + eps_e))

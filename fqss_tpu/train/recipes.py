@@ -164,6 +164,18 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
             start_epoch = last_epoch + 1
             save_log(work_dir, f"resumed from checkpoint at epoch {last_epoch}")
 
+    # MSE-histogram calibration at the observer-window boundary: the reference
+    # MSE quantizer self-calibrates inline when its 50th observation lands
+    # (qat_quant.py:306-326 mse_minmax_range fires from forward). Here the
+    # histogram accumulates on-device during the window and the host grid
+    # search runs ONCE when the window closes (fqss_tpu.quant.calibration).
+    from fqss_tpu.quant.calibration import DEFAULT_OBSERVER_WINDOW, has_pending_mse
+
+    mse_pending = has_pending_mse(state.qstats)
+    mse_window = model_cfg.get("quantization", {}).get(
+        "max_observations", DEFAULT_OBSERVER_WINDOW
+    )
+
     epochs = training_cfg.get("epochs", 50)
     best_val = float("inf")
     # speechbrain Checkpointer time-based interval (sepformer config
@@ -178,6 +190,10 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
             bmix, bsrc = shard_batch((mix, src), mesh)
             state, metrics = train_step(state, bmix, bsrc)
             losses.append(float(metrics["loss"]))
+            if mse_pending and int(state.step) >= mse_window:
+                state = _calibrate_mse_state(state, mesh)
+                mse_pending = False
+                save_log(work_dir, f"MSE quantizer calibration at step {int(state.step)}")
             if ckpt_interval_s and time.time() - last_ckpt_t >= ckpt_interval_s:
                 _export_state(work_dir, "latest_model.npz", state)
                 save_log(work_dir, f"interval checkpoint (epoch {epoch})")
@@ -226,6 +242,24 @@ def train_speech(conf: Mapping[str, Any], env_name: str = "asteroid") -> dict:
         save_log(work_dir, f"test_results.csv avg: {avg}")
 
     return {"best_val_loss": best_val, "epochs_run": epoch + 1, "state": jax.device_get(state)}
+
+
+def _calibrate_mse_state(state, mesh):
+    """Host grid-search the MSE-optimal ranges and write them into the state.
+
+    Runs once, when the observer window closes (the functional analog of the
+    reference's in-forward mse_minmax_range switch, qat_quant.py:306-326).
+    """
+    from fqss_tpu.quant.calibration import calibrate_mse_quantizers
+    from fqss_tpu.quant.quantizers import QPARAMS, QSTATS
+
+    variables = {
+        QPARAMS: jax.device_get(state.qparams),
+        QSTATS: jax.device_get(state.qstats),
+    }
+    variables = calibrate_mse_quantizers(variables)
+    state = state.replace(qparams=variables[QPARAMS], qstats=variables[QSTATS])
+    return jax.device_put(state, replicated_sharding(mesh))
 
 
 def _export_state(work_dir: str, name: str, state) -> None:

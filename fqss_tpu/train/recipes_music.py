@@ -430,6 +430,16 @@ def _train_music(conf: Mapping[str, Any], env: str) -> dict:
             save_log(work_dir, f"continued from {training_cfg['continue_from']}")
         other.close()
 
+    # MSE-histogram calibration at the observer-window close (same protocol
+    # as the speech recipe; reference analog qat_quant.py:306-326).
+    from fqss_tpu.quant.calibration import DEFAULT_OBSERVER_WINDOW, has_pending_mse
+    from fqss_tpu.train.recipes import _calibrate_mse_state
+
+    mse_pending = has_pending_mse(state.qstats)
+    mse_window = (model_cfg.get("quantization") or {}).get(
+        "max_observations", DEFAULT_OBSERVER_WINDOW
+    )
+
     rng = jax.random.PRNGKey(seed)
     epochs = training_cfg.get("epochs", 4)
     metric_history: list[float] = [
@@ -449,6 +459,10 @@ def _train_music(conf: Mapping[str, Any], env: str) -> dict:
             bsrc = shard_batch(jnp.asarray(batch), mesh)
             state, batch_emas, metrics = step_fn(state, batch_emas, bsrc, sub)
             losses.append(float(metrics["loss"]))
+            if mse_pending and int(state.step) >= mse_window:
+                state = _calibrate_mse_state(state, mesh)
+                mse_pending = False
+                save_log(work_dir, f"MSE quantizer calibration at step {int(state.step)}")
         mean_loss = float(np.mean(losses)) if losses else float("nan")
 
         # epoch EMAs update once per epoch (solver.py:438-440)

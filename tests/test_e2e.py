@@ -218,6 +218,73 @@ dataloader_opts:
 
 
 @pytest.mark.slow
+def test_train_speech_mse_quantizer_end_to_end(mini_dataset):
+    """act_quantizer: 'mse' trains, calibrates at the observer-window close,
+    and actually engages quantization (the reference self-calibrates inline,
+    qat_quant.py:306-326; round-3 gap: the calibration pass was never called
+    from the product training path)."""
+    root, train_dir, val_dir = mini_dataset
+    conf = _smoke_conf(root, train_dir, val_dir)
+    conf["work_dir"] = os.path.join(root, "work_mse")
+    conf["model_cfg"] = dict(conf["model_cfg"])
+    conf["model_cfg"]["quantization"] = dict(
+        conf["model_cfg"]["quantization"], act_quantizer="mse", max_observations=4
+    )
+    from fqss_tpu.train.recipes import train_speech
+
+    result = train_speech(conf, env_name="asteroid")
+    assert np.isfinite(result["best_val_loss"])
+    with open(os.path.join(conf["work_dir"], "results.txt")) as f:
+        assert "MSE quantizer calibration" in f.read()
+
+    # Every MSE quantizer calibrated; ranges moved off the (-0.5, 0.5) inits.
+    state = result["state"]
+    calibrated, moved = [], []
+
+    def walk(stats, params):
+        for k, v in stats.items():
+            if isinstance(v, dict) and "hist" in v:
+                calibrated.append(bool(np.asarray(v["calibrated"])))
+                p = params[k]
+                moved.append(
+                    float(p["min_range"][0]) != -0.5 or float(p["max_range"][0]) != 0.5
+                )
+            elif isinstance(v, dict):
+                walk(v, params.get(k, {}))
+
+    walk(state.qstats, state.qparams)
+    assert calibrated and all(calibrated)
+    assert any(moved)
+
+    # Quantization engages post-calibration: the loaded model's forward
+    # differs from the float-branch forward the uncalibrated state produces.
+    import jax
+
+    from fqss_tpu.models.factory import create_pretrained_model
+
+    model_cfg = dict(conf["model_cfg"])
+    model_cfg["model_path"] = os.path.join(conf["work_dir"], "best_model.npz")
+    example = jnp.zeros((1, 4000), jnp.float32)
+    # observer stays True: post-calibration the quantize branch engages, and
+    # clearing the calibrated flag restores the float passthrough — the pair
+    # proves the flag actually gates quantization.
+    model, variables = create_pretrained_model(model_cfg, example)
+    mix, _ = LibriMix(val_dir, task="sep_clean", sample_rate=8000, n_src=2, segment=0.5)[0]
+    est = model.apply(variables, jnp.asarray(mix)[None])
+    # un-calibrate: flip the flags back -> the float passthrough branch
+    uncal = jax.tree_util.tree_map(lambda a: a, variables)
+    def clear(node):
+        for v in node.values():
+            if isinstance(v, dict) and "calibrated" in v:
+                v["calibrated"] = np.asarray(False)
+            elif isinstance(v, dict):
+                clear(v)
+    clear(uncal["qstats"])
+    est_float = model.apply(uncal, jnp.asarray(mix)[None])
+    assert not np.allclose(np.asarray(est), np.asarray(est_float))
+
+
+@pytest.mark.slow
 def test_train_speech_resume_from_checkpoint(mini_dataset):
     """observer=False resumes from the work_dir checkpoint (the reference's
     resume semantics, configs/convtasnet_2spks_8k.yaml:26)."""
