@@ -247,6 +247,12 @@ class HTDemucs(nn.Module):
     samplerate: int = 44100
     segment: float = 10
     q: QuantSpec = FLOAT
+    # Serving hook: when set, replaces the whole transformer block — the
+    # bottom_channels 1x1 up/downsamplers plus the cross transformer — with
+    # an external (x, xt) -> (x, xt) function. serve/htdemucs_int8.py uses
+    # it to run those sites as true s8 MXU matmuls on the learned grids
+    # while the conv branches keep this module's (weight-folded) math.
+    transformer_override: object = None
 
     @property
     def n_srcs(self) -> int:
@@ -355,7 +361,9 @@ class HTDemucs(nn.Module):
             chout = int(self.growth * chout)
 
         # ---- cross transformer
-        if self.t_layers > 0:
+        if self.t_layers > 0 and self.transformer_override is not None:
+            x, xt = self.transformer_override(x, xt)
+        elif self.t_layers > 0:
             if self.bottom_channels:
                 bb, fr_b, t_b, c_b = x.shape
                 x2 = QConv1d(self.bottom_channels, 1, q=self.q, name="channel_upsampler")(

@@ -22,15 +22,17 @@ def make_int8_engine(model, variables, compute_dtype: str = "bfloat16"):
     """Build the int8 serving engine matching ``model``'s family.
 
     Raises NotImplementedError for families without an int8 engine
-    (HTDemucs/HDemucs serve through ``fold_quantized_weights`` — their
-    FLOPs are strided/2-D convs, not grid-input matmuls).
+    (HDemucs serves through ``fold_quantized_weights``; HTDemucs gets the
+    partial engine — int8 transformer + up/downsamplers, folded convs).
     """
     from fqss_tpu.models.convtasnet import ConvTasNet
     from fqss_tpu.models.convtasnet_music import ConvTasNetMusic
     from fqss_tpu.models.dptnet import DPTNet
+    from fqss_tpu.models.htdemucs import HTDemucs
     from fqss_tpu.models.sepformer import Sepformer
     from fqss_tpu.serve.convtasnet_music_int8 import ConvTasNetMusicInt8Engine
     from fqss_tpu.serve.dptnet_int8 import DPTNetInt8Engine
+    from fqss_tpu.serve.htdemucs_int8 import HTDemucsInt8Engine
     from fqss_tpu.serve.sepformer_int8 import SepformerInt8Engine
 
     for cls, engine_cls in (
@@ -38,6 +40,7 @@ def make_int8_engine(model, variables, compute_dtype: str = "bfloat16"):
         (ConvTasNetMusic, ConvTasNetMusicInt8Engine),
         (Sepformer, SepformerInt8Engine),
         (DPTNet, DPTNetInt8Engine),
+        (HTDemucs, HTDemucsInt8Engine),
     ):
         if isinstance(model, cls):
             return engine_cls(model, variables, compute_dtype=compute_dtype)
