@@ -1,16 +1,21 @@
 """Per-model batched inference throughput on the real TPU chip (honest timing).
 
-Produces the PARITY.md per-model table: full-size FQSS-8bit QAT forwards at
-production batch sizes, f32 vs bf16 MXU compute. Timing varies an input per
-call and reads a slice of each output back to the host (see bench.py for why
-that is required through the axon tunnel).
+Produces the PARITY.md per-model table AND the driver-visible artifact
+(BENCH_models_rNN.json): full-size FQSS-8bit QAT forwards at batch sizes
+large enough to amortize the axon tunnel latency, across every serving path
+(f32, bf16, bf16+Pallas LSTM/attention where the model has those sites,
+int8 engine) — the JSON row records the best path per model.
 
-Run: python scripts/bench_models.py [model ...]   (default: all)
+Timing varies an input per call and reads a slice of each output back to
+the host (see bench.py for why that is required through the tunnel).
+
+Run: python scripts/bench_models.py [model ...] [--json OUT.json] [--engines]
 """
 
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import sys
 import time
@@ -27,12 +32,22 @@ from fqss_tpu.quant import QuantSpec
 Q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=True)
 
 # (name, builder kwargs, batch, seconds, sample_rate, stereo)
+# Batches are sized so one call is >= ~100 ms of device work — large enough
+# that the tunnel round-trip does not dominate (VERDICT r3 item 6).
 CASES = {
     "convtasnet": dict(batch=32, seconds=12.0, sr=8000, stereo=False),
-    "dptnet": dict(batch=4, seconds=4.0, sr=8000, stereo=False),
+    "dptnet": dict(batch=16, seconds=4.0, sr=8000, stereo=False),
     "sepformer": dict(batch=8, seconds=4.0, sr=8000, stereo=False),
-    "convtasnet_music": dict(batch=2, seconds=4.0, sr=44100, stereo=True),
-    "htdemucs": dict(batch=2, seconds=6.0, sr=44100, stereo=True),
+    "convtasnet_music": dict(batch=8, seconds=4.0, sr=44100, stereo=True),
+    "htdemucs": dict(batch=8, seconds=6.0, sr=44100, stereo=True),
+}
+
+# Pallas kernel sites per model: LSTM recurrence (DPTNet FFN), fused
+# attention (Sepformer/DPTNet/HTDemucs transformers).
+PALLAS_PATHS = {
+    "dptnet": ("pallas_lstm", "pallas_attn"),
+    "sepformer": ("pallas_attn",),
+    "htdemucs": ("pallas_attn",),
 }
 
 
@@ -72,47 +87,79 @@ def timeit(fn, *args, n=10):
     return (time.perf_counter() - t0) / n
 
 
-def bench_case(name: str, engines: bool = False, pallas_lstm: bool = False, pallas_attn: bool = False):
+def bench_case(name: str, engines: bool = False) -> dict:
     c = CASES[name]
     T = int(c["seconds"] * c["sr"])
     shape = (c["batch"], 2, T) if c["stereo"] else (c["batch"], T)
     x = jax.random.uniform(jax.random.PRNGKey(0), shape, minval=-1.0, maxval=1.0)
-    for dtype in ("float32", "bfloat16"):
-        q = dataclasses.replace(Q, compute_dtype=dtype, pallas_lstm=pallas_lstm, pallas_attn=pallas_attn)
+    sec_audio = c["batch"] * c["seconds"]
+
+    paths: dict[str, float] = {}
+    variables = None
+
+    def record(path: str, dt: float):
+        paths[path] = dt
+        print(f"{name:18s} {path:12s} batch={c['batch']:3d} x {c['seconds']:.0f}s "
+              f"{dt*1e3:9.2f} ms {sec_audio/dt:12,.0f} sec-audio/s", flush=True)
+
+    run_specs = [("float32", {}), ("bfloat16", {})]
+    for flag in PALLAS_PATHS.get(name, ()):
+        run_specs.append((f"bf16+{flag}", {flag: True}))
+
+    for path, kernel_kw in run_specs:
+        dtype = "float32" if path == "float32" else "bfloat16"
+        q = dataclasses.replace(Q, compute_dtype=dtype, **kernel_kw)
         model = build(name, q)
         try:
             variables = model.init(jax.random.PRNGKey(1), x)
             fwd = jax.jit(lambda v, x, tick: model.apply(v, x + tick * 1e-6))
-            dt = timeit(fwd, variables, x, n=8)
-            sa = c["batch"] * c["seconds"] / dt
-            print(f"{name:18s} {dtype:9s} batch={c['batch']:3d} x {c['seconds']:.0f}s "
-                  f"{dt*1e3:9.2f} ms {sa:12,.0f} sec-audio/s", flush=True)
+            record(path, timeit(fwd, variables, x, n=8))
         except Exception as e:
-            print(f"{name:18s} {dtype:9s} FAILED: {type(e).__name__}: {e}", flush=True)
-        if engines and dtype == "bfloat16":
-            try:
-                from fqss_tpu.serve import make_int8_engine
+            print(f"{name:18s} {path:12s} FAILED: {type(e).__name__}: {e}", flush=True)
 
-                engine = make_int8_engine(model, dict(variables), compute_dtype=dtype)
-                eng_fwd = jax.jit(lambda xx, tick: engine._forward(xx + tick * 1e-6))
-                dt = timeit(eng_fwd, x, n=8)
-                sa = c["batch"] * c["seconds"] / dt
-                print(f"{name:18s} int8-eng  batch={c['batch']:3d} x {c['seconds']:.0f}s "
-                      f"{dt*1e3:9.2f} ms {sa:12,.0f} sec-audio/s", flush=True)
-            except NotImplementedError:
-                pass
-            except Exception as e:
-                print(f"{name:18s} int8-eng  FAILED: {type(e).__name__}: {e}", flush=True)
+    if engines and variables is not None:
+        try:
+            from fqss_tpu.serve import make_int8_engine
+
+            model = build(name, dataclasses.replace(Q, compute_dtype="bfloat16"))
+            engine = make_int8_engine(model, dict(variables), compute_dtype="bfloat16")
+            eng_fwd = jax.jit(lambda xx, tick: engine._forward(xx + tick * 1e-6))
+            record("int8-engine", timeit(eng_fwd, x, n=8))
+        except NotImplementedError:
+            pass
+        except Exception as e:
+            print(f"{name:18s} int8-engine  FAILED: {type(e).__name__}: {e}", flush=True)
+
+    best = min(paths, key=paths.get) if paths else None
+    row = {
+        "model": name,
+        "batch": c["batch"],
+        "seconds": c["seconds"],
+        "sample_rate": c["sr"],
+        "best_path": best,
+        "best_ms_per_call": round(paths[best] * 1e3, 2) if best else None,
+        "best_sec_audio_per_s": round(sec_audio / paths[best], 1) if best else None,
+        "paths_ms": {k: round(v * 1e3, 2) for k, v in paths.items()},
+    }
+    print(f"{name:18s} best: {best} ({row['best_sec_audio_per_s']:,} sec-audio/s)\n", flush=True)
+    return row
 
 
 def main():
-    names = [a for a in sys.argv[1:] if not a.startswith("-")] or list(CASES)
-    engines = "--engines" in sys.argv
-    pallas_lstm = "--pallas-lstm" in sys.argv
-    pallas_attn = "--pallas-attn" in sys.argv
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("models", nargs="*", choices=list(CASES) + [[]], default=[])
+    ap.add_argument("--engines", action="store_true")
+    ap.add_argument("--json", dest="json_out", default=None)
+    a = ap.parse_args()
+    names = a.models or list(CASES)
     print(f"device: {jax.devices()}", flush=True)
-    for n in names:
-        bench_case(n, engines=engines, pallas_lstm=pallas_lstm, pallas_attn=pallas_attn)
+    rows = [bench_case(n, engines=a.engines) for n in names]
+    if a.json_out:
+        with open(a.json_out, "w") as f:
+            json.dump({"device": str(jax.devices()[0]), "rows": rows}, f, indent=1)
+        print(f"wrote {a.json_out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -24,9 +24,10 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from fqss_tpu.data import synth_band_batch, synth_batch
+from fqss_tpu.data.synthetic import synth_music_batch
 from fqss_tpu.models import ConvTasNet
 from fqss_tpu.quant import QuantSpec
-from fqss_tpu.separation.losses import pit_neg_sisdr_db
+from fqss_tpu.separation.losses import nsdr_db, pit_neg_sisdr_db
 from fqss_tpu.separation.splitter import split_msb_lsb
 from fqss_tpu.train import TrainConfig, create_train_state, make_optimizer, make_train_step
 
@@ -35,8 +36,18 @@ ARCHS = {
     "sepformer": dict(n_srcs=2, kernel_size=16, stride=8, n_filters=64, n_repeats=1, n_heads=4, chunk_size=50, n_ffn=128, n_layers=2),
     "dptnet": dict(n_srcs=2, kernel_size=8, enc_dim=64, feature_dim=32, hidden_dim=32, layer=2, segment_size=50),
 }
+# Music family: stereo 4-stem models trained through the music trainers'
+# weighted-L1/NSDR KD loss (train_tasnet_music / train_htdemucs path —
+# reference musdbhq_train.py:87-107, solver.py:334-359).
+MUSIC_ARCHS = {
+    "convtasnet_music": dict(n_filters=64, kernel_size=20, stride=10, bn_chan=32,
+                             hid_chan=64, n_blocks=4, n_repeats=2),
+    "htdemucs": dict(channels=8, nfft=512, t_layers=3, t_heads=4, segment=0.5, samplerate=8000),
+}
 SEG = 8000  # 1s @ 8k
 BATCH = 8
+SEG_M = 4000  # 0.5s @ 8k (music family; htdemucs TINY segment)
+BATCH_M = 4
 
 
 def make_model(name: str, q=None):
@@ -124,6 +135,163 @@ def train(model, teacher, variables, teacher_params, cfg, steps, seed):
     return out, state
 
 
+def make_music_model(name: str, q=None):
+    kw = dict(MUSIC_ARCHS[name])
+    if q is not None:
+        kw["q"] = q
+    if name == "convtasnet_music":
+        from fqss_tpu.models.convtasnet_music import ConvTasNetMusic
+
+        return ConvTasNetMusic(**kw)
+    if name == "htdemucs":
+        from fqss_tpu.models.htdemucs import HTDemucs
+
+        return HTDemucs(**kw)
+    raise ValueError(name)
+
+
+def music_io_ceilings(band: bool, seed: int = 999, n_batches: int = 8) -> tuple[float, float]:
+    """NSDR representational ceilings for the music (stereo 4-stem) output
+    path — the music splitter does not normalize (convtasnetq_music.py:220),
+    but split_msb_lsb thresholds per sample, so the math mirrors
+    io_ceilings with the per-stem threshold."""
+    rng = np.random.default_rng(seed)
+    v8, vs = [], []
+    delta = 1.0 / 128.0
+    for _ in range(n_batches):
+        src = synth_music_batch(rng, BATCH_M, SEG_M, band_disjoint=band)
+        s = jnp.asarray(src)  # [B, S, 2, T]
+        flat = s.reshape(s.shape[0] * s.shape[1], -1)
+        th = jnp.max(jnp.abs(flat), axis=1, keepdims=True)
+        step = th * delta
+        q8 = jnp.clip(jnp.round(flat / step), -128, 127) * step
+        msb, lsb = split_msb_lsb(flat)
+        lstep = (2.0 * th) * delta
+        lsb_q = jnp.clip(jnp.round(lsb / lstep), -128, 127) * lstep
+        rec = msb + lsb_q * (0.5 * delta)
+        v8.append(float(jnp.mean(nsdr_db(flat, q8))))
+        vs.append(float(jnp.mean(nsdr_db(flat, rec))))
+    return float(np.mean(v8)), float(np.mean(vs))
+
+
+def eval_music_nsdr(model, variables, band: bool, is_htdemucs: bool,
+                    n_batches: int = 8, seed: int = 999) -> float:
+    kwargs = {"train": True} if is_htdemucs else {}
+    fwd = jax.jit(lambda v, x: model.apply(v, x, **kwargs))
+    rng = np.random.default_rng(seed)
+    vals = []
+    for _ in range(n_batches):
+        src = synth_music_batch(rng, BATCH_M, SEG_M, band_disjoint=band)
+        s = jnp.asarray(src)
+        mix = s.sum(axis=1)  # [B, 2, T]
+        est = np.nan_to_num(np.asarray(fwd(variables, mix)))[..., :SEG_M]
+        flat_s = s.reshape(s.shape[0] * s.shape[1], -1)
+        flat_e = jnp.asarray(est).reshape(s.shape[0] * s.shape[1], -1)
+        vals.append(float(jnp.mean(nsdr_db(flat_s, flat_e))))
+    return float(np.mean(vals))
+
+
+def train_music(model, teacher, variables, teacher_params, cfg, steps, seed,
+                weight_kind: str, is_htdemucs: bool, band: bool):
+    """Drive make_music_train_step (the product music KD step) on synthetic
+    stems — the same loss/step the tasnet/htdemucs recipes run."""
+    from fqss_tpu.train.recipes_music import make_music_train_step
+
+    tx = make_optimizer(cfg)
+    state = create_train_state(dict(variables), tx, teacher_params=teacher_params)
+    step_fn = make_music_train_step(
+        model, teacher, tx, cfg, weight_kind=weight_kind,
+        augment_cfg={"enable": False}, is_htdemucs=is_htdemucs,
+    )
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+    t0 = time.time()
+    for i in range(steps):
+        src = synth_music_batch(rng, BATCH_M, SEG_M, band_disjoint=band)
+        key, sub = jax.random.split(key)
+        state, _, metrics = step_fn(state, (), jnp.asarray(src), sub)
+        if i % 200 == 0:
+            print(f"  step {i}: loss={float(metrics['loss']):.4f} ({time.time() - t0:.0f}s)", flush=True)
+    out = {"params": jax.device_get(state.params)}
+    if state.qparams:
+        out["qparams"] = jax.device_get(state.qparams)
+    if state.qstats:
+        out["qstats"] = jax.device_get(state.qstats)
+    return out
+
+
+def run_music(args) -> None:
+    """Three-way float/vanilla/FQSS table on the stereo multi-stem music
+    task, trained with the music recipes' weighted-L1/NSDR KD loss
+    (VERDICT r3 item 4; reference musdbhq_train.py:87-107, solver.py:334-359)."""
+    from fqss_tpu.models.factory import merge_float_params
+
+    band = args.task == "band"
+    is_htd = args.model == "htdemucs"
+    weight_kind = "exp" if is_htd else "pow10"
+
+    ceil8, ceil_fqss = music_io_ceilings(band)
+    print(f"8-bit output representational ceiling (NSDR): {ceil8:.2f} dB")
+    print(f"FQSS splitter/combiner ceiling (NSDR):        {ceil_fqss:.2f} dB")
+
+    x0 = jnp.zeros((BATCH_M, 2, SEG_M))
+
+    print(f"== float training ({args.model}, weight_kind={weight_kind}) ==")
+    fmodel = make_music_model(args.model)
+    init_kw = {"train": True} if is_htd else {}
+    fvars = dict(fmodel.init(jax.random.PRNGKey(0), x0, **init_kw))
+    fvars_trained = train_music(fmodel, fmodel, fvars, None, TrainConfig(kd_lambda=0.0, lr=1e-3),
+                                args.steps_float, seed=1, weight_kind=weight_kind,
+                                is_htdemucs=is_htd, band=band)
+    float_nsdr = eval_music_nsdr(fmodel, fvars_trained, band, is_htd)
+    print(f"float NSDR: {float_nsdr:.2f} dB")
+
+    print(f"== FQSS QAT (splitter=2, combiner=2, KD; 8-bit I/O, {args.internal_bits}-bit internal) ==")
+    q = QuantSpec(qat=True, observer=True, n_splitter=2, n_combiner=2, out_quant=True,
+                  act_n_bits=args.internal_bits, out_act_n_bits=8)
+    qmodel = make_music_model(args.model, q=q)
+    qvars = dict(qmodel.init(jax.random.PRNGKey(0), x0, **init_kw))
+    qvars["params"] = merge_float_params(qvars["params"], fvars_trained["params"], 2)
+    qvars_trained = train_music(qmodel, fmodel, qvars, fvars_trained["params"],
+                                TrainConfig(kd_lambda=0.1, lr=args.qat_lr), args.steps_qat,
+                                seed=2, weight_kind=weight_kind, is_htdemucs=is_htd, band=band)
+    qat_nsdr = eval_music_nsdr(qmodel, qvars_trained, band, is_htd)
+    print(f"FQSS-8bit NSDR: {qat_nsdr:.2f} dB")
+
+    print(f"== vanilla QAT (8-bit I/O quantizers, {args.internal_bits}-bit internal, no KD) ==")
+    qv = QuantSpec(qat=True, observer=True, n_splitter=1, n_combiner=1, in_quant=True,
+                   out_quant=True, act_n_bits=args.internal_bits, in_act_n_bits=8,
+                   out_act_n_bits=8)
+    vmodel = make_music_model(args.model, q=qv)
+    vvars = dict(vmodel.init(jax.random.PRNGKey(0), x0, **init_kw))
+    vvars["params"] = merge_float_params(vvars["params"], fvars_trained["params"], 1)
+    vvars_trained = train_music(vmodel, fmodel, vvars, None,
+                                TrainConfig(kd_lambda=0.0, lr=args.qat_lr), args.steps_qat,
+                                seed=2, weight_kind=weight_kind, is_htdemucs=is_htd, band=band)
+    vanilla_nsdr = eval_music_nsdr(vmodel, vvars_trained, band, is_htd)
+    print(f"vanilla-8bit NSDR: {vanilla_nsdr:.2f} dB")
+
+    print("\n==== RESULT ====")
+    print(f"family: music | task: {args.task} | model: {args.model} | metric: NSDR")
+    print(f"8-bit output ceiling:  {ceil8:.2f} dB | splitter ceiling: {ceil_fqss:.2f} dB")
+    print(f"float:       {float_nsdr:.2f} dB")
+    print(f"vanilla QAT: {vanilla_nsdr:.2f} dB (gap {float_nsdr - vanilla_nsdr:+.2f})")
+    print(f"FQSS QAT:    {qat_nsdr:.2f} dB (gap {float_nsdr - qat_nsdr:+.2f})")
+    import json
+
+    print(json.dumps({
+        "family": "music", "metric": "nsdr",
+        "task": args.task, "model": args.model,
+        "weight_kind": weight_kind,
+        "internal_bits": args.internal_bits,
+        "steps_float": args.steps_float, "steps_qat": args.steps_qat,
+        "ceiling_8bit_db": round(ceil8, 2), "ceiling_fqss_db": round(ceil_fqss, 2),
+        "float_db": round(float_nsdr, 2),
+        "vanilla_db": round(vanilla_nsdr, 2),
+        "fqss_db": round(qat_nsdr, 2),
+    }))
+
+
 def main():
     global _gen
     ap = argparse.ArgumentParser()
@@ -131,7 +299,7 @@ def main():
     ap.add_argument("--steps-qat", type=int, default=2500)
     ap.add_argument("--qat-lr", type=float, default=1e-3)
     ap.add_argument("--task", choices=sorted(TASKS), default="band")
-    ap.add_argument("--model", choices=sorted(ARCHS), default="convtasnet")
+    ap.add_argument("--model", choices=sorted(ARCHS) + sorted(MUSIC_ARCHS), default="convtasnet")
     ap.add_argument(
         "--internal-bits",
         type=int,
@@ -145,6 +313,9 @@ def main():
         "internal quant would mask the I/O effect entirely).",
     )
     args = ap.parse_args()
+    if args.model in MUSIC_ARCHS:
+        run_music(args)
+        return
     _gen = TASKS[args.task]
 
     ceil8, ceil_fqss = io_ceilings()
