@@ -62,15 +62,23 @@ def _cell_step(h, c, ih_t, hh, quant):
 
 
 class _LSTMDirection(nn.Module):
-    """One direction of the quantized LSTM recurrence."""
+    """One direction of the quantized LSTM recurrence.
+
+    With ``project_only=True`` the module creates the same parameters but
+    returns ``(ih_all, w_hh)`` — the hoisted input projection (in scan
+    order, i.e. already time-flipped for the reverse direction) and the
+    fake-quantized recurrent weights — so QLSTM can batch both directions
+    of a bidirectional LSTM into ONE recurrence (see QLSTM below).
+    """
 
     hidden_size: int
     mode: str
     reverse: bool
     q: QuantSpec = FLOAT
+    project_only: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array):
         B, T, C = x.shape
         H = self.hidden_size
         import math
@@ -93,6 +101,9 @@ class _LSTMDirection(nn.Module):
 
         xsc, w_ih_c = mxu_operands(self.q, xs, w_ih)
         ih_all = jnp.einsum("btc,ch->bth", xsc, w_ih_c, preferred_element_type=jnp.float32) + b_ih + b_hh
+
+        if self.project_only:
+            return ih_all, w_hh
 
         quant_cfg = self.q.qat and self.q.act_quant and self.mode in ("dynamic", "static")
         if self.mode == "dynamic" and quant_cfg:
@@ -185,21 +196,68 @@ class _LSTMDirection(nn.Module):
 
 
 class QLSTM(nn.Module):
-    """Quantized (bi)LSTM -> output act-quant (qat_layers.py:571-613)."""
+    """Quantized (bi)LSTM -> output act-quant (qat_layers.py:571-613).
+
+    ``fuse_bidir``: in fused/float mode the two directions of a
+    bidirectional LSTM run as ONE ``lax.scan`` instead of two, with a
+    leading direction axis on the carry and a batched per-step matmul —
+    identical math term-for-term, same FLOPs, half the serial iteration
+    count. Measured on the bench device it does NOT pay (full DPTNet
+    forward 680 ms fused vs 598 ms per-direction vs 569 ms Pallas kernel,
+    8 x 4 s): that device's scan cost is per-matmul-op, and the batched
+    step matmul costs as much as two separate ones — so the default stays
+    off and the Pallas recurrence kernel (``QuantSpec.pallas_lstm``)
+    remains the fast DPTNet path. Kept as a tested equal-math alternative
+    for hardware where loop overhead, not op dispatch, binds.
+    Static/dynamic modes keep per-direction recurrences (their 12 quantizer
+    sites are learned per direction and must see per-direction tensors), as
+    does the Pallas kernel path (its in-kernel matmul has no batch dim).
+    """
 
     hidden_size: int
     bidirectional: bool = True
     mode: str = "fused"  # 'fused' | 'static' | 'dynamic'
     q: QuantSpec = FLOAT
+    fuse_bidir: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         mode = self.mode if self.q.qat else "fused"
-        fwd = _LSTMDirection(self.hidden_size, mode, reverse=False, q=self.q, name="fw")(x)
-        if self.bidirectional:
-            bwd = _LSTMDirection(self.hidden_size, mode, reverse=True, q=self.q, name="bw")(x)
-            y = jnp.concatenate([fwd, bwd], axis=-1)
+        H = self.hidden_size
+        if self.bidirectional and self.fuse_bidir and mode == "fused" and not self.q.pallas_lstm:
+            ih_f, w_f = _LSTMDirection(H, mode, reverse=False, q=self.q,
+                                       project_only=True, name="fw")(x)
+            ih_b, w_b = _LSTMDirection(H, mode, reverse=True, q=self.q,
+                                       project_only=True, name="bw")(x)
+
+            # Both directions in ONE scan with a leading direction axis:
+            # per step a batched [2, B, H] x [2, H, 4H] matmul — the same
+            # FLOPs as the two per-direction scans (no waste), half the
+            # serial iteration count. (The Pallas kernel path keeps
+            # per-direction calls: its in-kernel matmul has no batch dim.)
+            ih_all = jnp.stack([jnp.swapaxes(ih_f, 0, 1), jnp.swapaxes(ih_b, 0, 1)], 1)
+            wj = jnp.stack([w_f, w_b], 0)  # [2, H, 4H]
+            B = x.shape[0]
+            h0 = jnp.zeros((2, B, H), ih_all.dtype)
+            c0 = jnp.zeros((2, B, H), ih_all.dtype)
+
+            def step(carry, ih_t):
+                h, c = carry
+                gates = ih_t + jnp.einsum("dbh,dhg->dbg", h, wj)
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                h = jax.nn.sigmoid(o) * jnp.tanh(c)
+                return (h, c), h
+
+            _, hs = jax.lax.scan(step, (h0, c0), ih_all)  # [T, 2, B, H]
+            hs = jnp.moveaxis(hs, 2, 0)  # [B, T, 2, H]
+            y = jnp.concatenate([hs[..., 0, :], jnp.flip(hs[..., 1, :], axis=1)], axis=-1)
         else:
-            y = fwd
+            fwd = _LSTMDirection(H, mode, reverse=False, q=self.q, name="fw")(x)
+            if self.bidirectional:
+                bwd = _LSTMDirection(H, mode, reverse=True, q=self.q, name="bw")(x)
+                y = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                y = fwd
         aq = make_act_quantizer(self.q)
         return aq(y) if aq is not None else y

@@ -36,7 +36,7 @@ Q = QuantSpec(qat=True, observer=False, n_splitter=2, n_combiner=2, out_quant=Tr
 # that the tunnel round-trip does not dominate (VERDICT r3 item 6).
 CASES = {
     "convtasnet": dict(batch=32, seconds=12.0, sr=8000, stereo=False),
-    "dptnet": dict(batch=16, seconds=4.0, sr=8000, stereo=False),
+    "dptnet": dict(batch=8, seconds=4.0, sr=8000, stereo=False),
     "sepformer": dict(batch=8, seconds=4.0, sr=8000, stereo=False),
     "convtasnet_music": dict(batch=8, seconds=4.0, sr=44100, stereo=True),
     "htdemucs": dict(batch=8, seconds=6.0, sr=44100, stereo=True),
@@ -141,7 +141,10 @@ def bench_case(name: str, engines: bool = False) -> dict:
         "best_sec_audio_per_s": round(sec_audio / paths[best], 1) if best else None,
         "paths_ms": {k: round(v * 1e3, 2) for k, v in paths.items()},
     }
-    print(f"{name:18s} best: {best} ({row['best_sec_audio_per_s']:,} sec-audio/s)\n", flush=True)
+    if best:
+        print(f"{name:18s} best: {best} ({row['best_sec_audio_per_s']:,} sec-audio/s)\n", flush=True)
+    else:
+        print(f"{name:18s} all paths FAILED\n", flush=True)
     return row
 
 
@@ -152,11 +155,18 @@ def main():
     ap.add_argument("models", nargs="*", choices=list(CASES) + [[]], default=[])
     ap.add_argument("--engines", action="store_true")
     ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument("--merge", action="store_true",
+                    help="update the named models' rows in an existing --json file")
     a = ap.parse_args()
     names = a.models or list(CASES)
     print(f"device: {jax.devices()}", flush=True)
     rows = [bench_case(n, engines=a.engines) for n in names]
     if a.json_out:
+        if a.merge and os.path.exists(a.json_out):
+            with open(a.json_out) as f:
+                old = {r["model"]: r for r in json.load(f)["rows"]}
+            old.update({r["model"]: r for r in rows})
+            rows = [old[n] for n in CASES if n in old]
         with open(a.json_out, "w") as f:
             json.dump({"device": str(jax.devices()[0]), "rows": rows}, f, indent=1)
         print(f"wrote {a.json_out}", flush=True)

@@ -111,3 +111,42 @@ def test_qmha_quantized_attn_noop_quirk():
     # both have attn/softmax quantizer state
     assert "activation_fake_quantize_attn" in v[QPARAMS]
     assert "activation_fake_quantize_softmax" in v[QPARAMS]
+
+
+@pytest.mark.parametrize("spec", [None, QAT, QuantSpec(qat=True, observer=False, compute_dtype="bfloat16")])
+def test_qlstm_fuse_bidir_matches_two_scans(spec):
+    """The joint bidirectional recurrence (one scan, gate-interleaved
+    block-diagonal weights) is term-for-term the same math as two
+    per-direction scans — values AND input gradient."""
+    B, T, C, H = 2, 14, 6, 8
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((B, T, C)).astype(np.float32))
+    kw = dict(hidden_size=H, bidirectional=True, mode="fused")
+    if spec is not None:
+        kw["q"] = spec
+    joint = QLSTM(fuse_bidir=True, **kw)
+    two = QLSTM(fuse_bidir=False, **kw)
+    v = joint.init(jax.random.PRNGKey(3), x)  # identical param trees
+
+    yj = joint.apply(v, x)
+    ys = two.apply(v, x)
+    np.testing.assert_allclose(np.asarray(yj), np.asarray(ys), rtol=1e-6, atol=1e-6)
+
+    gj = jax.grad(lambda xx: jnp.sum(joint.apply(v, xx) ** 2))(x)
+    gs = jax.grad(lambda xx: jnp.sum(two.apply(v, xx) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gj), np.asarray(gs), rtol=1e-5, atol=1e-5)
+
+
+def test_qlstm_fuse_bidir_pallas_route_falls_back_cleanly():
+    """fuse_bidir + pallas_lstm: the joint path defers to the per-direction
+    Pallas route (lstm_sequence; scan fallback for unsupported H here) and
+    still matches the plain two-scan path."""
+    B, T, C, H = 2, 9, 5, 8
+    q = QuantSpec(qat=True, observer=False, pallas_lstm=True)
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((B, T, C)).astype(np.float32))
+    joint = QLSTM(hidden_size=H, bidirectional=True, mode="fused", fuse_bidir=True, q=q)
+    two = QLSTM(hidden_size=H, bidirectional=True, mode="fused", fuse_bidir=False,
+                q=QuantSpec(qat=True, observer=False))
+    v = joint.init(jax.random.PRNGKey(4), x)
+    np.testing.assert_allclose(
+        np.asarray(joint.apply(v, x)), np.asarray(two.apply(v, x)), rtol=1e-6, atol=1e-6
+    )
