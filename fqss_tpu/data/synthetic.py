@@ -89,6 +89,51 @@ def synth_band_batch(
 _MUSIC_BANDS = ((60.0, 300.0), (350.0, 900.0), (1000.0, 1900.0), (2200.0, 3400.0))
 
 
+def _hard_music_stem(rng: np.random.Generator, s: int, t: np.ndarray,
+                     sample_rate: int) -> np.ndarray:
+    """One mono stem for the spectrally-overlapping 'hard' music task.
+
+    Stems share the 80–3400 Hz band but are identifiable by *timbre* — the
+    analog of fixed stem identity (drums/bass/vocals/other) in real stem
+    separation, where there is no PIT and the model must learn what each
+    output slot sounds like. Without this, an all-same-band tone-stack task
+    gives the model nothing to key stem identity on and no variant trains
+    above ~1 dB NSDR.
+    """
+    length = t.shape[0]
+    kind = s % 4
+    if kind == 0:  # bass-ish: low-f0 harmonic stack, amplitudes 1/k
+        f0 = rng.uniform(70.0, 160.0)
+        sig = np.zeros(length, np.float64)
+        for k in range(1, 6):
+            sig += (1.0 / k) * np.sin(2 * np.pi * k * f0 * t + rng.uniform(0, 2 * np.pi))
+        env = 1.0 + 0.5 * np.sin(2 * np.pi * rng.uniform(0.3, 1.0) * t + rng.uniform(0, 2 * np.pi))
+        return sig * env
+    if kind == 1:  # drums-ish: periodic exponentially-decaying noise bursts
+        rate = rng.uniform(2.0, 6.0)
+        period = max(1, int(sample_rate / rate))
+        decay = np.exp(-np.arange(length) / (0.02 * sample_rate))
+        hits = np.zeros(length, np.float64)
+        hits[rng.integers(0, period)::period] = 1.0
+        burst = np.convolve(hits, decay[: int(0.08 * sample_rate)])[:length]
+        return burst * rng.standard_normal(length)
+    if kind == 2:  # vocal-ish: vibrato harmonic stack, odd partials
+        f0 = rng.uniform(200.0, 600.0)
+        vib = 1.0 + 0.03 * np.sin(2 * np.pi * 5.0 * t + rng.uniform(0, 2 * np.pi))
+        phase = 2 * np.pi * f0 * np.cumsum(vib) / sample_rate
+        sig = np.zeros(length, np.float64)
+        for k in (1, 3, 5):
+            sig += (1.0 / k) * np.sin(k * phase + rng.uniform(0, 2 * np.pi))
+        env = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(0.5, 2.0) * t + rng.uniform(0, 2 * np.pi)))
+        return sig * env
+    # pad-ish: smoothed wideband noise under a slow envelope
+    noise = rng.standard_normal(length)
+    k = np.ones(8) / 8.0
+    sig = np.convolve(noise, k, mode="same")
+    env = 1.0 + 0.5 * np.sin(2 * np.pi * rng.uniform(0.1, 0.5) * t + rng.uniform(0, 2 * np.pi))
+    return sig * env
+
+
 def synth_music_batch(
     rng: np.random.Generator,
     batch: int,
@@ -104,30 +149,39 @@ def synth_music_batch(
     with a per-stem stereo image (per-channel gain + interaural phase).
     ``band_disjoint=True`` confines each stem to its own frequency band — an
     easy task that exposes the 8-bit I/O ceiling the FQSS splitter/combiner
-    lifts; ``False`` draws all stems from the same wide band (the hard task,
-    where accuracy is model-limited instead). The mixture (sum of stems) is
-    peak-normalized to 0.9, matching the music trainers' mix = sources.sum(1)
-    convention (musdbhq_train.py:60-66).
+    lifts; ``False`` gives every stem the same wide band but a distinct
+    *timbre* per output slot (_hard_music_stem) — the hard task, where
+    accuracy is model-limited instead, and stem identity is learnable the
+    way fixed-order stems are in real music separation (no PIT in the music
+    trainers). The mixture (sum of stems) is peak-normalized to 0.9,
+    matching the music trainers' mix = sources.sum(1) convention
+    (musdbhq_train.py:60-66).
     """
     t = np.arange(length) / sample_rate
     out = np.zeros((batch, n_stems, 2, length), np.float32)
     for b in range(batch):
         for s in range(n_stems):
-            f_lo, f_hi = _MUSIC_BANDS[s % len(_MUSIC_BANDS)] if band_disjoint else (80.0, 3400.0)
             pan = rng.uniform(0.2, 0.8)  # constant-power stereo position
             gains = (np.cos(pan * np.pi / 2), np.sin(pan * np.pi / 2))
             itd = rng.uniform(0.0, 2e-4)  # interaural delay, seconds
             sig_ch = []
-            tones = [
-                (rng.uniform(f_lo, f_hi), rng.uniform(0.3, 1.0), rng.uniform(0, 2 * np.pi))
-                for _ in range(6)
-            ]
-            env = 1.0 + 0.5 * np.sin(2 * np.pi * rng.uniform(0.3, 2.0) * t + rng.uniform(0, 2 * np.pi))
-            for ch, g in enumerate(gains):
-                sig = np.zeros(length, np.float64)
-                for f0, a, ph in tones:
-                    sig += a * np.sin(2 * np.pi * f0 * (t - ch * itd) + ph)
-                sig_ch.append(g * sig * env)
+            if band_disjoint:
+                f_lo, f_hi = _MUSIC_BANDS[s % len(_MUSIC_BANDS)]
+                tones = [
+                    (rng.uniform(f_lo, f_hi), rng.uniform(0.3, 1.0), rng.uniform(0, 2 * np.pi))
+                    for _ in range(6)
+                ]
+                env = 1.0 + 0.5 * np.sin(2 * np.pi * rng.uniform(0.3, 2.0) * t + rng.uniform(0, 2 * np.pi))
+                for ch, g in enumerate(gains):
+                    sig = np.zeros(length, np.float64)
+                    for f0, a, ph in tones:
+                        sig += a * np.sin(2 * np.pi * f0 * (t - ch * itd) + ph)
+                    sig_ch.append(g * sig * env)
+            else:
+                mono = _hard_music_stem(rng, s, t, sample_rate)
+                for ch, g in enumerate(gains):
+                    # fractional interaural delay for arbitrary (noise) stems
+                    sig_ch.append(g * np.interp(t - ch * itd, t, mono))
             stem = np.stack(sig_ch)
             out[b, s] = rng.uniform(0.4, 1.0) * stem / (np.abs(stem).max() + 1e-8)
         mix_peak = np.abs(out[b].sum(axis=0)).max() + 1e-8

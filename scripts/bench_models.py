@@ -87,8 +87,10 @@ def timeit(fn, *args, n=10):
     return (time.perf_counter() - t0) / n
 
 
-def bench_case(name: str, engines: bool = False) -> dict:
-    c = CASES[name]
+def bench_case(name: str, engines: bool = False, batch: int | None = None) -> dict:
+    c = dict(CASES[name])
+    if batch is not None:
+        c["batch"] = batch
     T = int(c["seconds"] * c["sr"])
     shape = (c["batch"], 2, T) if c["stereo"] else (c["batch"], T)
     x = jax.random.uniform(jax.random.PRNGKey(0), shape, minval=-1.0, maxval=1.0)
@@ -157,10 +159,12 @@ def main():
     ap.add_argument("--json", dest="json_out", default=None)
     ap.add_argument("--merge", action="store_true",
                     help="update the named models' rows in an existing --json file")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the per-model default batch size")
     a = ap.parse_args()
     names = a.models or list(CASES)
     print(f"device: {jax.devices()}", flush=True)
-    rows = [bench_case(n, engines=a.engines) for n in names]
+    rows = [bench_case(n, engines=a.engines, batch=a.batch) for n in names]
     if a.json_out:
         if a.merge and os.path.exists(a.json_out):
             with open(a.json_out) as f:

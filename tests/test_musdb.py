@@ -343,3 +343,31 @@ def test_native_wav_extensible_float(tmp_path):
     assert (frames, sr, ch) == (1000, 8000, 2)
     seg, _ = read_wav_segment(str(p), 0, 1000)
     np.testing.assert_allclose(seg, w, atol=1e-6)
+
+
+def test_hard_music_task_stems_are_timbre_identifiable():
+    """The band_disjoint=False music task must make stem identity learnable
+    from timbre (the music trainers have no PIT — fixed stem order), while
+    the stems still share one wide frequency band. Checks the slot-wise
+    signatures the generator promises: bass (slot 0) sits spectrally below
+    vocal (slot 2); drums (slot 1) is far spikier than pad (slot 3); every
+    stem has energy in the shared 200-800 Hz band."""
+    from fqss_tpu.data.synthetic import synth_music_batch
+
+    rng = np.random.default_rng(7)
+    x = synth_music_batch(rng, 8, 4000, band_disjoint=False)  # [B, 4, 2, T]
+    assert x.shape == (8, 4, 2, 4000) and np.isfinite(x).all()
+
+    mono = x.mean(axis=2)  # [B, 4, T]
+    spec = np.abs(np.fft.rfft(mono, axis=-1))  # [B, 4, F]
+    freqs = np.fft.rfftfreq(4000, d=1 / 8000)
+    centroid = (spec * freqs).sum(-1) / (spec.sum(-1) + 1e-9)  # [B, 4]
+    assert (centroid[:, 0] < centroid[:, 2]).mean() > 0.9  # bass below vocal
+
+    z = (mono - mono.mean(-1, keepdims=True)) / (mono.std(-1, keepdims=True) + 1e-9)
+    kurt = (z**4).mean(-1)  # [B, 4]
+    assert kurt[:, 1].mean() > 2.0 * kurt[:, 3].mean()  # drums spikier than pad
+
+    band = (freqs >= 200) & (freqs <= 800)
+    frac = spec[..., band].sum(-1) / (spec.sum(-1) + 1e-9)
+    assert (frac > 0.02).all()  # spectral overlap: no stem avoids the shared band
