@@ -1,6 +1,10 @@
-"""Benchmark: flagship QAT inference throughput on TPU vs PyTorch-CPU reference.
+"""Benchmark: QAT inference throughput on TPU vs PyTorch-CPU reference.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON metric line per non-flagship model family (on its
+measured-best serving path, vs_baseline = ratio over the last committed
+BENCH_models_r*.json — a driver-visible regression detector), then the
+flagship line LAST: {"metric": "convtasnet_fqss8bit_infer_throughput", ...}
+(the line the driver parses).
 
 Metric: seconds of audio separated per wall-clock second per chip by the
 full-size fake-quantized ConvTasNet (n_splitter=2/n_combiner=2, the FQSS
@@ -122,7 +126,64 @@ def bench_torch_cpu_reference() -> float | None:
         return None
 
 
+def bench_all_models() -> list[dict]:
+    """One throughput line per model family on its measured-best serving path
+    (serve/autopath.py table), so a regression in any family shows up in the
+    driver-captured artifact, not only in builder-committed files (VERDICT r4
+    item 7). vs_baseline here is the ratio over the last committed per-model
+    bench table (BENCH_models_r*.json) — ~1.0 means no regression."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    import bench_models as bm
+
+    from fqss_tpu.serve.autopath import BEST_PATHS, path_label
+
+    prev = {}
+    cands = sorted(f for f in os.listdir(repo) if f.startswith("BENCH_models_r") and f.endswith(".json"))
+    if cands:
+        with open(os.path.join(repo, cands[-1])) as f:
+            prev = {r["model"]: r for r in json.load(f)["rows"]}
+
+    by_key = {v: k for k, v in {
+        "ConvTasNet": "convtasnet", "Sepformer": "sepformer", "DPTNet": "dptnet",
+        "ConvTasNetMusic": "convtasnet_music", "HTDemucs": "htdemucs"}.items()}
+    rows = []
+    for name, c in bm.CASES.items():
+        if name == "convtasnet":
+            continue  # flagship metric covers it (full multi-path bench)
+        overrides = dict(BEST_PATHS[by_key[name]])
+        q = dataclasses.replace(bm.Q, **overrides)
+        model = bm.build(name, q)
+        T = int(c["seconds"] * c["sr"])
+        shape = (c["batch"], 2, T) if c["stereo"] else (c["batch"], T)
+        x = jax.random.uniform(jax.random.PRNGKey(0), shape, minval=-1.0, maxval=1.0)
+        variables = model.init(jax.random.PRNGKey(1), x)
+        fwd = jax.jit(lambda v, xx, tick: model.apply(v, xx + tick * 1e-6))
+        dt = bm.timeit(fwd, variables, x, n=8)
+        val = c["batch"] * c["seconds"] / dt
+        base = (prev.get(name) or {}).get("best_sec_audio_per_s")
+        rows.append({
+            "metric": f"{name}_fqss8bit_infer_throughput",
+            "value": round(val, 1),
+            "unit": "sec_audio_per_sec_per_chip",
+            "vs_baseline": round(val / base, 3) if base else None,
+            "path": path_label(overrides),
+        })
+    return rows
+
+
 def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache_tpu")
+    try:
+        for row in bench_all_models():
+            print(json.dumps(row), flush=True)
+    except Exception as e:  # per-model lines are best-effort; flagship must print
+        print(f"(per-model bench skipped: {type(e).__name__}: {e})", file=sys.stderr)
     tpu = bench_tpu()
     cpu = bench_torch_cpu_reference()
     vs = tpu / cpu if cpu else None

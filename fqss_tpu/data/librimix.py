@@ -219,6 +219,55 @@ def batch_iterator(
         yield item
 
 
+MINI_URL = "https://zenodo.org/record/3871592/files/MiniLibriMix.zip?download=1"
+
+
+def mini_download(root: str = ".", url: str = MINI_URL, timeout: float = 30.0) -> str:
+    """Download + unpack MiniLibriMix from zenodo into ``root``.
+
+    Mirrors the reference LibriMix.mini_download
+    (librimix_dataset.py:237-262): fetch MiniLibriMix.zip (cached), extract
+    train/ val/ metadata/, and reorder metadata CSVs into per-split
+    metadata/{train,val}/ directories. Returns the metadata directory path.
+    Raises URLError/OSError when the environment has no network egress —
+    callers (and tests) should fall back to :func:`make_mini_librimix`.
+    """
+    import shutil
+    import urllib.request
+    import zipfile
+
+    mini_dir = os.path.join(root, "MiniLibriMix")
+    os.makedirs(mini_dir, exist_ok=True)
+    zip_path = os.path.join(mini_dir, "MiniLibriMix.zip")
+    if not os.path.isfile(zip_path):
+        with urllib.request.urlopen(url, timeout=timeout) as resp, open(zip_path + ".part", "wb") as f:
+            shutil.copyfileobj(resp, f)
+        os.replace(zip_path + ".part", zip_path)
+    if not all(os.path.isdir(os.path.join(mini_dir, d)) for d in ("train", "val", "metadata")):
+        with zipfile.ZipFile(zip_path) as zf:
+            zf.extractall(root)
+    src = os.path.join(mini_dir, "metadata")
+    for mode in ("train", "val"):
+        dst = os.path.join(src, mode)
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if mode in f and os.path.isfile(p):
+                shutil.copyfile(p, os.path.join(dst, f))
+    return src
+
+
+def mini_from_download(root: str = ".", task: str = "sep_clean", **kwargs):
+    """Download MiniLibriMix and return (train_set, val_set) LibriMix views
+    (reference librimix_dataset.py:199-232). 8 kHz only, clean/noisy tasks."""
+    assert task in ("sep_clean", "sep_noisy"), "MiniLibriMix supports sep_clean/sep_noisy"
+    assert kwargs.get("sample_rate", 8000) == 8000, "MiniLibriMix is 8 kHz"
+    meta = mini_download(root)
+    train_set = LibriMix(os.path.join(meta, "train"), task=task, sample_rate=8000, **kwargs)
+    val_set = LibriMix(os.path.join(meta, "val"), task=task, sample_rate=8000, **kwargs)
+    return train_set, val_set
+
+
 def make_mini_librimix(root: str, n_train: int = 12, n_val: int = 4, sample_rate: int = 8000, seconds: float = 1.0, n_src: int = 2, seed: int = 0):
     """Build a tiny on-disk LibriMix-format dataset (WAVs + CSVs).
 

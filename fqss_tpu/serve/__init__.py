@@ -13,6 +13,7 @@ modules (reference qat_utils.py:334-351). This package goes further:
   streams with bounded latency (sample-identical to offline OLA).
 """
 
+from fqss_tpu.serve.autopath import auto_serving_model, best_path
 from fqss_tpu.serve.convtasnet_int8 import ConvTasNetInt8Engine
 from fqss_tpu.serve.fold import fold_quantized_weights
 from fqss_tpu.serve.streaming import StreamingSeparator
@@ -52,6 +53,8 @@ def make_int8_engine(model, variables, compute_dtype: str = "bfloat16"):
 __all__ = [
     "ConvTasNetInt8Engine",
     "StreamingSeparator",
+    "auto_serving_model",
+    "best_path",
     "fold_quantized_weights",
     "make_int8_engine",
 ]

@@ -20,11 +20,13 @@ def argument_handler():
     parser.add_argument("--use_cpu", action="store_true", help="Use cpu")
     parser.add_argument(
         "--engine",
-        choices=["fake_quant", "folded", "int8"],
+        choices=["fake_quant", "folded", "int8", "auto"],
         default="fake_quant",
         help="Serving path: per-forward fake-quant (reference semantics), "
         "weight-folded fake-quant (bitwise identical, weights pre-quantized), "
-        "or the int8 MXU engine (ConvTasNet families, Sepformer, DPTNet).",
+        "the int8 MXU engine (ConvTasNet families, Sepformer, DPTNet), or "
+        "auto — the measured-fastest path for this model family "
+        "(serve/autopath.py; never slower than the default path).",
     )
     parser.add_argument(
         "--stream",
@@ -80,6 +82,11 @@ def infer():
         from fqss_tpu.serve import fold_quantized_weights
 
         smodel, svars = fold_quantized_weights(model, variables)
+        apply_fn = jax.jit(lambda x: smodel.apply(svars, x))
+    elif args.engine == "auto":
+        from fqss_tpu.serve import auto_serving_model
+
+        smodel, svars = auto_serving_model(model, variables)
         apply_fn = jax.jit(lambda x: smodel.apply(svars, x))
     else:
         apply_fn = jax.jit(lambda x: model.apply(variables, x))

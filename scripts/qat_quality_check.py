@@ -48,6 +48,30 @@ SEG = 8000  # 1s @ 8k
 BATCH = 8
 SEG_M = 4000  # 0.5s @ 8k (music family; htdemucs TINY segment)
 BATCH_M = 4
+# The spectrally-overlapping 'hard' music task runs with 2 stems (bass-ish +
+# drums-ish timbres): measured float NSDR at 2k steps is ~9.8 dB vs ~4.5 dB
+# for the 4-stem variant with these tiny models — the 2-stem task gives the
+# acceptance comparison (FQSS within 0.3 dB of float in the model-limited
+# regime) a non-trivial float arm to compare against (VERDICT r4 item 3).
+N_STEMS_HARD = 2
+
+
+def _prefetch(gen_fn, n_buffer: int = 4):
+    """Host data pipeline: generate batches on a background thread so the
+    ~7-17 ms numpy synthesis overlaps device compute instead of serializing
+    with it (the reference uses torch DataLoader workers for the same)."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=n_buffer)
+
+    def worker():
+        while True:
+            q.put(gen_fn())
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        yield q.get()
 
 
 def make_model(name: str, q=None):
@@ -72,8 +96,7 @@ _gen = TASKS["band"]
 
 def data_stream(seed: int):
     rng = np.random.default_rng(seed)
-    while True:
-        yield _gen(rng, BATCH, SEG)
+    return _prefetch(lambda: _gen(rng, BATCH, SEG))
 
 
 def eval_sisdr(model, variables, n_batches: int = 8, seed: int = 999) -> float:
@@ -116,7 +139,19 @@ def io_ceilings(seed: int = 999, n_batches: int = 8) -> tuple[float, float]:
     return float(np.mean(v8)), float(np.mean(vs))
 
 
-def train(model, teacher, variables, teacher_params, cfg, steps, seed):
+def _state_vars(state) -> dict:
+    out = {"params": jax.device_get(state.params)}
+    if state.qparams:
+        out["qparams"] = jax.device_get(state.qparams)
+    if state.qstats:
+        out["qstats"] = jax.device_get(state.qstats)
+    return out
+
+
+def train(model, teacher, variables, teacher_params, cfg, steps, seed, eval_fn=None):
+    """``eval_fn(variables) -> float``: when given, evaluated every 2000
+    steps so the training trajectory (is the arm converged or still
+    climbing?) is part of the campaign log, not a guess."""
     tx = make_optimizer(cfg)
     state = create_train_state(dict(variables), tx, teacher_params=teacher_params)
     step_fn = make_train_step(model, teacher, tx, cfg)
@@ -126,17 +161,15 @@ def train(model, teacher, variables, teacher_params, cfg, steps, seed):
         mix, src = next(stream)
         state, metrics = step_fn(state, jnp.asarray(mix), jnp.asarray(src))
         if i % 200 == 0:
-            print(f"  step {i}: loss={float(metrics['loss']):.3f} ({time.time() - t0:.0f}s)")
-    out = {"params": jax.device_get(state.params)}
-    if state.qparams:
-        out["qparams"] = jax.device_get(state.qparams)
-    if state.qstats:
-        out["qstats"] = jax.device_get(state.qstats)
-    return out, state
+            print(f"  step {i}: loss={float(metrics['loss']):.3f} ({time.time() - t0:.0f}s)", flush=True)
+        if eval_fn is not None and i > 0 and i % 2000 == 0:
+            print(f"  step {i}: eval={eval_fn(_state_vars(state)):.2f} dB", flush=True)
+    return _state_vars(state), state
 
 
-def make_music_model(name: str, q=None):
+def make_music_model(name: str, q=None, n_stems: int = 4):
     kw = dict(MUSIC_ARCHS[name])
+    kw["sources"] = tuple(f"s{i}" for i in range(n_stems))
     if q is not None:
         kw["q"] = q
     if name == "convtasnet_music":
@@ -150,7 +183,7 @@ def make_music_model(name: str, q=None):
     raise ValueError(name)
 
 
-def music_io_ceilings(band: bool, seed: int = 999, n_batches: int = 8) -> tuple[float, float]:
+def music_io_ceilings(band: bool, n_stems: int = 4, seed: int = 999, n_batches: int = 8) -> tuple[float, float]:
     """NSDR representational ceilings for the music (stereo 4-stem) output
     path — the music splitter does not normalize (convtasnetq_music.py:220),
     but split_msb_lsb thresholds per sample, so the math mirrors
@@ -159,7 +192,7 @@ def music_io_ceilings(band: bool, seed: int = 999, n_batches: int = 8) -> tuple[
     v8, vs = [], []
     delta = 1.0 / 128.0
     for _ in range(n_batches):
-        src = synth_music_batch(rng, BATCH_M, SEG_M, band_disjoint=band)
+        src = synth_music_batch(rng, BATCH_M, SEG_M, n_stems=n_stems, band_disjoint=band)
         s = jnp.asarray(src)  # [B, S, 2, T]
         flat = s.reshape(s.shape[0] * s.shape[1], -1)
         th = jnp.max(jnp.abs(flat), axis=1, keepdims=True)
@@ -174,14 +207,18 @@ def music_io_ceilings(band: bool, seed: int = 999, n_batches: int = 8) -> tuple[
     return float(np.mean(v8)), float(np.mean(vs))
 
 
-def eval_music_nsdr(model, variables, band: bool, is_htdemucs: bool,
+def eval_music_nsdr(model, variables, band: bool, is_htdemucs: bool, n_stems: int = 4,
                     n_batches: int = 8, seed: int = 999) -> float:
+    # HTDemucs train=True only controls padding-to-training-length
+    # (htdemucs.py:298-306) — identical at SEG_M == segment*samplerate; it is
+    # NOT a torch train-mode flag (no dropout/BN here; checked for the r4
+    # float-arm anomaly, which was undertraining, not an eval-flag bug).
     kwargs = {"train": True} if is_htdemucs else {}
     fwd = jax.jit(lambda v, x: model.apply(v, x, **kwargs))
     rng = np.random.default_rng(seed)
     vals = []
     for _ in range(n_batches):
-        src = synth_music_batch(rng, BATCH_M, SEG_M, band_disjoint=band)
+        src = synth_music_batch(rng, BATCH_M, SEG_M, n_stems=n_stems, band_disjoint=band)
         s = jnp.asarray(src)
         mix = s.sum(axis=1)  # [B, 2, T]
         est = np.nan_to_num(np.asarray(fwd(variables, mix)))[..., :SEG_M]
@@ -192,7 +229,8 @@ def eval_music_nsdr(model, variables, band: bool, is_htdemucs: bool,
 
 
 def train_music(model, teacher, variables, teacher_params, cfg, steps, seed,
-                weight_kind: str, is_htdemucs: bool, band: bool):
+                weight_kind: str, is_htdemucs: bool, band: bool, n_stems: int = 4,
+                eval_fn=None):
     """Drive make_music_train_step (the product music KD step) on synthetic
     stems — the same loss/step the tasnet/htdemucs recipes run."""
     from fqss_tpu.train.recipes_music import make_music_train_step
@@ -204,20 +242,18 @@ def train_music(model, teacher, variables, teacher_params, cfg, steps, seed,
         augment_cfg={"enable": False}, is_htdemucs=is_htdemucs,
     )
     rng = np.random.default_rng(seed)
+    stream = _prefetch(lambda: synth_music_batch(rng, BATCH_M, SEG_M, n_stems=n_stems, band_disjoint=band))
     key = jax.random.PRNGKey(seed)
     t0 = time.time()
     for i in range(steps):
-        src = synth_music_batch(rng, BATCH_M, SEG_M, band_disjoint=band)
+        src = next(stream)
         key, sub = jax.random.split(key)
         state, _, metrics = step_fn(state, (), jnp.asarray(src), sub)
         if i % 200 == 0:
             print(f"  step {i}: loss={float(metrics['loss']):.4f} ({time.time() - t0:.0f}s)", flush=True)
-    out = {"params": jax.device_get(state.params)}
-    if state.qparams:
-        out["qparams"] = jax.device_get(state.qparams)
-    if state.qstats:
-        out["qstats"] = jax.device_get(state.qstats)
-    return out
+        if eval_fn is not None and i > 0 and i % 2000 == 0:
+            print(f"  step {i}: eval={eval_fn(_state_vars(state)):.2f} dB", flush=True)
+    return _state_vars(state)
 
 
 def run_music(args) -> None:
@@ -227,48 +263,52 @@ def run_music(args) -> None:
     from fqss_tpu.models.factory import merge_float_params
 
     band = args.task == "band"
+    n_stems = 4 if band else N_STEMS_HARD
     is_htd = args.model == "htdemucs"
     weight_kind = "exp" if is_htd else "pow10"
 
-    ceil8, ceil_fqss = music_io_ceilings(band)
+    ceil8, ceil_fqss = music_io_ceilings(band, n_stems=n_stems)
     print(f"8-bit output representational ceiling (NSDR): {ceil8:.2f} dB")
     print(f"FQSS splitter/combiner ceiling (NSDR):        {ceil_fqss:.2f} dB")
 
     x0 = jnp.zeros((BATCH_M, 2, SEG_M))
 
-    print(f"== float training ({args.model}, weight_kind={weight_kind}) ==")
-    fmodel = make_music_model(args.model)
+    print(f"== float training ({args.model}, weight_kind={weight_kind}, {n_stems} stems) ==")
+    fmodel = make_music_model(args.model, n_stems=n_stems)
     init_kw = {"train": True} if is_htd else {}
+    ev = lambda m: (lambda v: eval_music_nsdr(m, v, band, is_htd, n_stems=n_stems, n_batches=4))
     fvars = dict(fmodel.init(jax.random.PRNGKey(0), x0, **init_kw))
     fvars_trained = train_music(fmodel, fmodel, fvars, None, TrainConfig(kd_lambda=0.0, lr=1e-3),
                                 args.steps_float, seed=1, weight_kind=weight_kind,
-                                is_htdemucs=is_htd, band=band)
-    float_nsdr = eval_music_nsdr(fmodel, fvars_trained, band, is_htd)
+                                is_htdemucs=is_htd, band=band, n_stems=n_stems, eval_fn=ev(fmodel))
+    float_nsdr = eval_music_nsdr(fmodel, fvars_trained, band, is_htd, n_stems=n_stems)
     print(f"float NSDR: {float_nsdr:.2f} dB")
 
     print(f"== FQSS QAT (splitter=2, combiner=2, KD; 8-bit I/O, {args.internal_bits}-bit internal) ==")
     q = QuantSpec(qat=True, observer=True, n_splitter=2, n_combiner=2, out_quant=True,
                   act_n_bits=args.internal_bits, out_act_n_bits=8)
-    qmodel = make_music_model(args.model, q=q)
+    qmodel = make_music_model(args.model, q=q, n_stems=n_stems)
     qvars = dict(qmodel.init(jax.random.PRNGKey(0), x0, **init_kw))
     qvars["params"] = merge_float_params(qvars["params"], fvars_trained["params"], 2)
     qvars_trained = train_music(qmodel, fmodel, qvars, fvars_trained["params"],
                                 TrainConfig(kd_lambda=0.1, lr=args.qat_lr), args.steps_qat,
-                                seed=2, weight_kind=weight_kind, is_htdemucs=is_htd, band=band)
-    qat_nsdr = eval_music_nsdr(qmodel, qvars_trained, band, is_htd)
+                                seed=2, weight_kind=weight_kind, is_htdemucs=is_htd, band=band,
+                                n_stems=n_stems, eval_fn=ev(qmodel))
+    qat_nsdr = eval_music_nsdr(qmodel, qvars_trained, band, is_htd, n_stems=n_stems)
     print(f"FQSS-8bit NSDR: {qat_nsdr:.2f} dB")
 
     print(f"== vanilla QAT (8-bit I/O quantizers, {args.internal_bits}-bit internal, no KD) ==")
     qv = QuantSpec(qat=True, observer=True, n_splitter=1, n_combiner=1, in_quant=True,
                    out_quant=True, act_n_bits=args.internal_bits, in_act_n_bits=8,
                    out_act_n_bits=8)
-    vmodel = make_music_model(args.model, q=qv)
+    vmodel = make_music_model(args.model, q=qv, n_stems=n_stems)
     vvars = dict(vmodel.init(jax.random.PRNGKey(0), x0, **init_kw))
     vvars["params"] = merge_float_params(vvars["params"], fvars_trained["params"], 1)
     vvars_trained = train_music(vmodel, fmodel, vvars, None,
                                 TrainConfig(kd_lambda=0.0, lr=args.qat_lr), args.steps_qat,
-                                seed=2, weight_kind=weight_kind, is_htdemucs=is_htd, band=band)
-    vanilla_nsdr = eval_music_nsdr(vmodel, vvars_trained, band, is_htd)
+                                seed=2, weight_kind=weight_kind, is_htdemucs=is_htd, band=band,
+                                n_stems=n_stems, eval_fn=ev(vmodel))
+    vanilla_nsdr = eval_music_nsdr(vmodel, vvars_trained, band, is_htd, n_stems=n_stems)
     print(f"vanilla-8bit NSDR: {vanilla_nsdr:.2f} dB")
 
     print("\n==== RESULT ====")
@@ -282,6 +322,7 @@ def run_music(args) -> None:
     print(json.dumps({
         "family": "music", "metric": "nsdr",
         "task": args.task, "model": args.model,
+        "n_stems": n_stems,
         "weight_kind": weight_kind,
         "internal_bits": args.internal_bits,
         "steps_float": args.steps_float, "steps_qat": args.steps_qat,
@@ -329,7 +370,9 @@ def main():
     fmodel = make_model(args.model)
     fvars = dict(fmodel.init(jax.random.PRNGKey(0), x0))
     cfg_f = TrainConfig(kd_lambda=0.0, lr=1e-3)
-    fvars_trained, _ = train(fmodel, fmodel, fvars, None, cfg_f, args.steps_float, seed=1)
+    ev = lambda m: (lambda v: eval_sisdr(m, v, n_batches=4))
+    fvars_trained, _ = train(fmodel, fmodel, fvars, None, cfg_f, args.steps_float, seed=1,
+                             eval_fn=ev(fmodel))
     float_sisdr = eval_sisdr(fmodel, fvars_trained)
     print(f"float SI-SDR: {float_sisdr:.2f} dB")
 
@@ -351,7 +394,8 @@ def main():
 
     qvars["params"] = merge_float_params(qvars["params"], fvars_trained["params"], 2)
     cfg_q = TrainConfig(kd_lambda=0.1, lr=args.qat_lr)
-    qvars_trained, _ = train(qmodel, fmodel, qvars, fvars_trained["params"], cfg_q, args.steps_qat, seed=2)
+    qvars_trained, _ = train(qmodel, fmodel, qvars, fvars_trained["params"], cfg_q, args.steps_qat,
+                             seed=2, eval_fn=ev(qmodel))
     qat_sisdr = eval_sisdr(qmodel, qvars_trained)
     print(f"FQSS-8bit SI-SDR: {qat_sisdr:.2f} dB")
 
@@ -373,7 +417,8 @@ def main():
     vmodel = make_model(args.model, q=qv)
     vvars = dict(vmodel.init(jax.random.PRNGKey(0), x0))
     vvars["params"] = merge_float_params(vvars["params"], fvars_trained["params"], 1)
-    vvars_trained, _ = train(vmodel, fmodel, vvars, None, TrainConfig(kd_lambda=0.0, lr=args.qat_lr), args.steps_qat, seed=2)
+    vvars_trained, _ = train(vmodel, fmodel, vvars, None, TrainConfig(kd_lambda=0.0, lr=args.qat_lr),
+                             args.steps_qat, seed=2, eval_fn=ev(vmodel))
     vanilla_sisdr = eval_sisdr(vmodel, vvars_trained)
     print(f"vanilla-8bit SI-SDR: {vanilla_sisdr:.2f} dB")
 

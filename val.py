@@ -17,11 +17,12 @@ def argument_handler():
     parser.add_argument("--no-stoi", action="store_true", help="Skip STOI (slow on host)")
     parser.add_argument(
         "--engine",
-        choices=["fake_quant", "folded", "int8"],
+        choices=["fake_quant", "folded", "int8", "auto"],
         default="fake_quant",
         help="Serving path: per-forward fake-quant, weight-folded (bitwise "
-        "identical, weight quantizers pre-applied at load), or the int8 MXU "
-        "engine (ConvTasNet families, Sepformer, DPTNet).",
+        "identical, weight quantizers pre-applied at load), the int8 MXU "
+        "engine (ConvTasNet families, Sepformer, DPTNet), or auto — the "
+        "measured-fastest path for this model family (serve/autopath.py).",
     )
     return parser.parse_args()
 
@@ -59,6 +60,10 @@ def val():
         from fqss_tpu.serve import fold_quantized_weights
 
         model, variables = fold_quantized_weights(model, variables)
+    elif args.engine == "auto":
+        from fqss_tpu.serve import auto_serving_model
+
+        model, variables = auto_serving_model(model, variables)
     elif args.engine == "int8":
         from fqss_tpu.serve import make_int8_engine
 
