@@ -252,6 +252,25 @@ class QLSTM(nn.Module):
             _, hs = jax.lax.scan(step, (h0, c0), ih_all)  # [T, 2, B, H]
             hs = jnp.moveaxis(hs, 2, 0)  # [B, T, 2, H]
             y = jnp.concatenate([hs[..., 0, :], jnp.flip(hs[..., 1, :], axis=1)], axis=-1)
+        elif self.bidirectional and mode == "fused" and self.q.pallas_lstm:
+            # Direction-fused Pallas recurrence: both directions of the
+            # BiLSTM in ONE kernel launch (half the launches, two MXU
+            # matmuls per grid step to pipeline) — ops/pallas_lstm.py
+            # bilstm_sequence. Same parameters/names as the per-direction
+            # path (fw/bw submodules), so checkpoints are interchangeable.
+            ih_f, w_f = _LSTMDirection(H, mode, reverse=False, q=self.q,
+                                       project_only=True, name="fw")(x)
+            ih_b, w_b = _LSTMDirection(H, mode, reverse=True, q=self.q,
+                                       project_only=True, name="bw")(x)
+            from fqss_tpu.ops.pallas_lstm import bilstm_sequence
+
+            hs_f, hs_b = bilstm_sequence(
+                jnp.swapaxes(ih_f, 0, 1), jnp.swapaxes(ih_b, 0, 1), w_f, w_b
+            )
+            y = jnp.concatenate(
+                [jnp.swapaxes(hs_f, 0, 1), jnp.flip(jnp.swapaxes(hs_b, 0, 1), axis=1)],
+                axis=-1,
+            )
         else:
             fwd = _LSTMDirection(H, mode, reverse=False, q=self.q, name="fw")(x)
             if self.bidirectional:

@@ -111,6 +111,121 @@ def _lstm_pallas_fwd(ih_all: Array, w_hh: Array) -> Array:
     return out[:, :B].astype(dt)
 
 
+def _bilstm_kernel(ihf_ref, ihb_ref, whh_ref, of_ref, ob_ref, hf_ref, cf_ref, hb_ref, cb_ref, *, hidden: int):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        hf_ref[:] = jnp.zeros_like(hf_ref)
+        cf_ref[:] = jnp.zeros_like(cf_ref)
+        hb_ref[:] = jnp.zeros_like(hb_ref)
+        cb_ref[:] = jnp.zeros_like(cb_ref)
+
+    H = hidden
+
+    def gate_step(gates, c):
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        c = f * c + i * g
+        return o * jnp.tanh(c), c
+
+    gf = ihf_ref[0] + jnp.dot(hf_ref[:], whh_ref[0], preferred_element_type=jnp.float32)
+    hf, cf = gate_step(gf, cf_ref[:])
+    hf_ref[:] = hf
+    cf_ref[:] = cf
+    of_ref[0] = hf
+    gb = ihb_ref[0] + jnp.dot(hb_ref[:], whh_ref[1], preferred_element_type=jnp.float32)
+    hb, cb = gate_step(gb, cb_ref[:])
+    hb_ref[:] = hb
+    cb_ref[:] = cb
+    ob_ref[0] = hb
+
+
+def _bilstm_pallas_fwd(ih_f: Array, ih_b: Array, w_f: Array, w_b: Array) -> tuple[Array, Array]:
+    T, B, G = ih_f.shape
+    H = G // 4
+    if not supported(H):
+        return _lstm_scan(ih_f, w_f), _lstm_scan(ih_b, w_b)
+    dt = ih_f.dtype
+    Bp = _round_up(B, 8)
+    TB = min(Bp, 512)
+    Bp = _round_up(Bp, TB)
+    xf = ih_f.astype(jnp.float32)
+    xb = ih_b.astype(jnp.float32)
+    if Bp != B:
+        pad = ((0, 0), (0, Bp - B), (0, 0))
+        xf = jnp.pad(xf, pad)
+        xb = jnp.pad(xb, pad)
+    whh = jnp.stack([w_f, w_b]).astype(jnp.float32)  # [2, H, G]
+    out_f, out_b = pl.pallas_call(
+        functools.partial(_bilstm_kernel, hidden=H),
+        grid=(Bp // TB, T),
+        in_specs=[
+            pl.BlockSpec((1, TB, G), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, G), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, H, G), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TB, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, Bp, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * Bp * T * H * G,
+            bytes_accessed=4 * (2 * Bp * T * G + 2 * H * G + 2 * Bp * T * H),
+            transcendentals=2 * 4 * Bp * T * H,
+        ),
+    )(xf, xb, whh)
+    return out_f[:, :B].astype(dt), out_b[:, :B].astype(dt)
+
+
+def _bilstm_scan_pair(ih_f, ih_b, w_f, w_b):
+    return _lstm_scan(ih_f, w_f), _lstm_scan(ih_b, w_b)
+
+
+@jax.custom_vjp
+def bilstm_sequence(ih_f: Array, ih_b: Array, w_f: Array, w_b: Array) -> tuple[Array, Array]:
+    """Both directions of a BiLSTM in ONE Pallas launch (VERDICT r4 item 6).
+
+    DPTNet runs 24 directional recurrences per forward; fusing each
+    bidirectional pair into a single grid halves the launch count and gives
+    every grid step two back-to-back MXU matmuls to pipeline instead of
+    one. ih_f/ih_b: [T, B, 4H] input projections, EACH ALREADY IN ITS OWN
+    SCAN ORDER (the reverse direction pre-flipped, as _LSTMDirection
+    emits); w_f/w_b: [H, 4H]. Returns (hs_f, hs_b), each [T, B, H] in scan
+    order — the caller un-flips the backward stream.
+    Backward: scan-rematerialized, like :func:`lstm_sequence`.
+    """
+    return _bilstm_pallas_fwd(ih_f, ih_b, w_f, w_b)
+
+
+def _bi_vjp_fwd(ih_f, ih_b, w_f, w_b):
+    return _bilstm_pallas_fwd(ih_f, ih_b, w_f, w_b), (ih_f, ih_b, w_f, w_b)
+
+
+def _bi_vjp_bwd(res, g):
+    ih_f, ih_b, w_f, w_b = res
+    _, pullback = jax.vjp(_bilstm_scan_pair, ih_f, ih_b, w_f, w_b)
+    return pullback(g)
+
+
+bilstm_sequence.defvjp(_bi_vjp_fwd, _bi_vjp_bwd)
+
+
 def _lstm_scan(ih_all: Array, w_hh: Array) -> Array:
     """Reference lax.scan recurrence — same math, used for bwd + fallback."""
     T, B, G = ih_all.shape

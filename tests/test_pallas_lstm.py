@@ -109,3 +109,46 @@ def test_qlstm_pallas_flag_equals_scan_path(qat):
         g0,
         g1,
     )
+
+
+def test_bilstm_sequence_matches_two_scans():
+    """Direction-fused kernel (both recurrences in one grid) must equal the
+    two per-direction scan recurrences exactly."""
+    from fqss_tpu.ops.pallas_lstm import _lstm_scan, bilstm_sequence
+
+    B, T, H = 5, 11, 128
+    ih_f = jax.random.normal(jax.random.PRNGKey(20), (T, B, 4 * H)) * 0.5
+    ih_b = jax.random.normal(jax.random.PRNGKey(21), (T, B, 4 * H)) * 0.5
+    w_f = jax.random.normal(jax.random.PRNGKey(22), (H, 4 * H)) / np.sqrt(H)
+    w_b = jax.random.normal(jax.random.PRNGKey(23), (H, 4 * H)) / np.sqrt(H)
+    y_f, y_b = bilstm_sequence(ih_f, ih_b, w_f, w_b)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(_lstm_scan(ih_f, w_f)), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(y_b), np.asarray(_lstm_scan(ih_b, w_b)), atol=2e-6)
+
+
+def test_bilstm_sequence_grad_and_fallback():
+    from fqss_tpu.ops.pallas_lstm import _lstm_scan, bilstm_sequence
+
+    # grad flows through the scan-remat VJP
+    B, T, H = 2, 5, 128
+    ih_f = jax.random.normal(jax.random.PRNGKey(24), (T, B, 4 * H)) * 0.3
+    ih_b = jax.random.normal(jax.random.PRNGKey(25), (T, B, 4 * H)) * 0.3
+    w_f = jax.random.normal(jax.random.PRNGKey(26), (H, 4 * H)) / np.sqrt(H)
+    w_b = jax.random.normal(jax.random.PRNGKey(27), (H, 4 * H)) / np.sqrt(H)
+
+    def tot(fn):
+        return jax.grad(
+            lambda a, b, wf, wb: sum(jnp.sum(o**2) for o in fn(a, b, wf, wb))
+        , argnums=(0, 1, 2, 3))(ih_f, ih_b, w_f, w_b)
+
+    got = tot(bilstm_sequence)
+    ref = tot(lambda a, b, wf, wb: (_lstm_scan(a, wf), _lstm_scan(b, wb)))
+    for ga, gr in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), atol=2e-5)
+
+    # unsupported hidden size falls back to the scan pair
+    H2 = 96
+    a = jax.random.normal(jax.random.PRNGKey(28), (4, 2, 4 * H2))
+    wf = jax.random.normal(jax.random.PRNGKey(29), (H2, 4 * H2)) / np.sqrt(H2)
+    y_f, y_b = bilstm_sequence(a, a, wf, wf)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(_lstm_scan(a, wf)), atol=2e-6)
