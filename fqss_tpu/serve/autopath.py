@@ -65,6 +65,13 @@ def auto_serving_model(model, variables, fold: bool = True):
     (bitwise-equal, serve/fold.py).
     """
     overrides = best_path(model)
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        # Pallas TPU kernels don't lower on CPU/GPU backends; the table is
+        # TPU measurements anyway — keep only the dtype choice elsewhere.
+        overrides.pop("pallas_lstm", None)
+        overrides.pop("pallas_attn", None)
     q = model.q
     valid = {f.name for f in dataclasses.fields(type(q))}
     q = dataclasses.replace(q, **{k: v for k, v in overrides.items() if k in valid})

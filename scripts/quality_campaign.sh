@@ -21,9 +21,16 @@ cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jaxcache_tpu}
 : > "$OUT"
 
+LOGDIR=${LOGDIR:-/tmp/quality_campaign_logs}
+mkdir -p "$LOGDIR"
+
 row() {
   echo "=== $(date +%H:%M:%S) qat_quality_check $* ===" >&2
-  timeout 14400 python scripts/qat_quality_check.py "$@" | grep '^{' | tail -1 >> "$OUT"
+  local tag
+  tag=$(echo "$*" | tr ' /-' '___')
+  # tee the full trajectory log so a running campaign is observable
+  timeout 14400 python scripts/qat_quality_check.py "$@" \
+    | tee "$LOGDIR/$tag.log" | grep '^{' | tail -1 >> "$OUT"
 }
 
 # Speech family (SI-SDR): the ceiling experiment needs long QAT so the
