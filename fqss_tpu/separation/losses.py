@@ -175,31 +175,59 @@ def music_kd_l1_loss(
     sources: Array,
     kd_lambda: float,
     weight_kind: str = "pow10",
+    source_weights: Array | None = None,
 ) -> Array:
-    """Weighted L1 KD loss for music separation.
+    """Weighted L1 KD loss for music separation, reference-faithful
+    aggregation (vectorized over the reference's per-sample python loops):
 
-    tasnet trainer (musdbhq_train.py:87-107): w = 10**((nsdr - nsdr_q)/10);
-    htdemucs solver (solver.py:334-359): w = exp((sdr - sdr_q)/10). Both then
-    mix (1-lambda)*L1(wavs, sources) + lambda*w*L1(wavs, fwavs) per source.
+    * ``pow10`` — tasnet trainer (musdbhq_train.py:87-107): ONE weight per
+      batch sample, ``w_b = 10**((nsdr_b - nsdr_q_b)/10)`` with the NSDR
+      taken over ALL stems of that sample (process.py:70-75 calc_nsdr is a
+      scalar per call); loss = (1-λ)·mean L1(wavs, sources) +
+      λ·mean_b(w_b · L1_b(wavs, fwavs)). No per-source weights (the tasnet
+      trainer has none).
+    * ``exp`` — htdemucs solver (solver.py:334-372): per-(sample, source)
+      weights ``exp((sdr - sdr_q)/10)`` (demucs new_sdr keeps the source
+      axis); per-source losses combined (1-λ)·task + λ·mean_b(w·kd), then
+      the config's per-source ``weights`` average (solver.py:371-372).
 
-    wavs/fwavs/sources: [B, n_sources, C, T].
+    wavs/fwavs/sources: [B, n_sources, C, T]; source_weights: [n_sources]
+    (htdemucs ``args.weights``; None = uniform).
     """
-    l1_task = jnp.mean(jnp.abs(wavs - sources), axis=(0, 2, 3))  # per source
     if kd_lambda <= 0:
-        return jnp.mean(l1_task)
+        loss_per_src = jnp.mean(jnp.abs(wavs - sources), axis=(0, 2, 3))
+        if source_weights is not None and weight_kind == "exp":
+            sw = jnp.asarray(source_weights, wavs.dtype)
+            return (loss_per_src * sw).sum() / sw.sum()
+        return jnp.mean(loss_per_src)
     fwavs = jax.lax.stop_gradient(fwavs)
-    # per-source NSDR of teacher and student vs ground truth (no grad)
-    ref = jnp.swapaxes(sources, 0, 1)  # [S, B, C, T]
-    sig_f = jax.lax.stop_gradient(jnp.swapaxes(fwavs, 0, 1))
-    sig_q = jax.lax.stop_gradient(jnp.swapaxes(wavs, 0, 1))
-    nsdr_f = nsdr_db(ref.reshape(ref.shape[0], -1), sig_f.reshape(ref.shape[0], -1))
-    nsdr_q = nsdr_db(ref.reshape(ref.shape[0], -1), sig_q.reshape(ref.shape[0], -1))
+    sig_f = jax.lax.stop_gradient(fwavs)
+    sig_q = jax.lax.stop_gradient(wavs)
+    b, s = sources.shape[0], sources.shape[1]
     if weight_kind == "pow10":
-        w = 10.0 ** ((nsdr_f - nsdr_q) / 10.0)
-    elif weight_kind == "exp":
-        w = jnp.exp((nsdr_f - nsdr_q) / 10.0)
-    else:
-        raise ValueError(weight_kind)
-    w = jax.lax.stop_gradient(w)
-    l1_kd = jnp.mean(jnp.abs(wavs - fwavs), axis=(0, 2, 3))
-    return jnp.mean((1.0 - kd_lambda) * l1_task + kd_lambda * w * l1_kd)
+        # per-sample scalar NSDR over all stems (calc_nsdr on [1, S, C, T]).
+        # Arg-order quirk reproduced: musdbhq_train.py:92-95 passes the
+        # ESTIMATE as calc_nsdr's ``ref`` (numerator = estimate energy),
+        # i.e. calc_nsdr(fwavs, sources) / calc_nsdr(wavs, sources).
+        tgt = sources.reshape(b, -1)
+        nsdr_f = nsdr_db(sig_f.reshape(b, -1), tgt)
+        nsdr_q = nsdr_db(sig_q.reshape(b, -1), tgt)
+        w = jax.lax.stop_gradient(10.0 ** ((nsdr_f - nsdr_q) / 10.0))  # [B]
+        task = jnp.mean(jnp.abs(wavs - sources))
+        l1_kd = jnp.mean(jnp.abs(wavs - fwavs), axis=(1, 2, 3))  # [B]
+        kd = jnp.mean(w * l1_kd)
+        return (1.0 - kd_lambda) * task + kd_lambda * kd
+    if weight_kind == "exp":
+        # per-(sample, source) NSDR (new_sdr keeps the source axis)
+        ref = sources.reshape(b, s, -1)
+        nsdr_f = nsdr_db(ref.reshape(b * s, -1), sig_f.reshape(b * s, -1)).reshape(b, s)
+        nsdr_q = nsdr_db(ref.reshape(b * s, -1), sig_q.reshape(b * s, -1)).reshape(b, s)
+        w = jax.lax.stop_gradient(jnp.exp((nsdr_f - nsdr_q) / 10.0))  # [B, S]
+        task = jnp.mean(jnp.abs(wavs - sources), axis=(0, 2, 3))  # [S]
+        l1_kd = jnp.mean(jnp.abs(wavs - fwavs), axis=(2, 3))  # [B, S]
+        kd = jnp.mean(w * l1_kd, axis=0)  # [S]
+        loss_per_src = (1.0 - kd_lambda) * task + kd_lambda * kd
+        sw = (jnp.ones((s,), wavs.dtype) if source_weights is None
+              else jnp.asarray(source_weights, wavs.dtype))
+        return (loss_per_src * sw).sum() / sw.sum()
+    raise ValueError(weight_kind)

@@ -99,6 +99,7 @@ def make_music_train_step(
     augment_cfg: Mapping[str, Any] | None = None,
     is_htdemucs: bool = False,
     batch_ema_decays: tuple[float, ...] = (),
+    source_weights=None,
 ):
     """KD train step over source batches [B, n_sources, C, T].
 
@@ -134,7 +135,8 @@ def make_music_train_step(
             fwavs = teacher.apply({"params": state.teacher_params}, mix, **kwargs)[..., :t_len]
         else:
             fwavs = jax.lax.stop_gradient(wavs)
-        loss = music_kd_l1_loss(wavs, fwavs, sources, cfg.kd_lambda, weight_kind)
+        loss = music_kd_l1_loss(wavs, fwavs, sources, cfg.kd_lambda, weight_kind,
+                                source_weights=source_weights)
         return loss, mutated
 
     # Donate state + EMAs (see trainer.py train_step: avoids per-step
@@ -377,15 +379,17 @@ def _train_music(conf: Mapping[str, Any], env: str) -> dict:
     mesh = make_mesh(n_dev)
     state = jax.device_put(state, replicated_sharding(mesh))
 
+    weights = np.asarray(training_cfg.get("weights", [1.0] * len(sources)), np.float32)
     step_fn = make_music_train_step(
         model, teacher, tx, cfg,
         weight_kind="exp" if is_htd else "pow10",
         augment_cfg=aug_cfg,
         is_htdemucs=is_htd,
         batch_ema_decays=batch_decays,
+        # htdemucs applies the per-source config weights to the TRAIN loss
+        # too (solver.py:371-372); the tasnet trainer has no source weights.
+        source_weights=weights if is_htd else None,
     )
-
-    weights = np.asarray(training_cfg.get("weights", [1.0] * len(sources)), np.float32)
     test_cfg = dict(training_cfg.get("test", {}) or {})
     test_every = int(test_cfg.get("every", testing_cfg.get("every", 0) or 0))
     test_metric = str(test_cfg.get("metric", "loss"))

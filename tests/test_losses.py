@@ -100,13 +100,80 @@ def test_nsdr_matches_reference_formula():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4)
 
 
-def test_music_kd_l1_loss():
+def _torch_tasnet_music_loss(wavs, fwavs, sources, kd_lambda, eps=1e-7):
+    """Oracle transcription of the tasnet music KD loop
+    (musdbhq_train.py:87-107 + process.py:70-75 calc_nsdr), incl. the
+    reference's calc_nsdr(ESTIMATE, sources) argument order."""
+    loss_fn = torch.nn.L1Loss()
+
+    def calc_nsdr(ref, sig):
+        sdr = (torch.sum(torch.square(ref)) + eps) / (torch.sum(torch.square(ref - sig)) + eps)
+        return 10 * np.log10(sdr.item())
+
+    sdrs, sdrqs = [], []
+    for i in range(len(fwavs)):
+        sdrs.append(calc_nsdr(fwavs[i : i + 1], sources[i : i + 1]))
+        sdrqs.append(calc_nsdr(wavs[i : i + 1], sources[i : i + 1]))
+    w = 10 ** ((torch.tensor(sdrs) - torch.tensor(sdrqs)) / 10)
+    kd_losses = [loss_fn(wavs[i : i + 1], fwavs[i : i + 1]) for i in range(len(fwavs))]
+    kd_loss = torch.mean(w * torch.stack(kd_losses))
+    task_loss = loss_fn(wavs, sources)
+    return (1 - kd_lambda) * task_loss + kd_lambda * kd_loss
+
+
+def _torch_htdemucs_loss(wavs, fwavs, sources, kd_lambda, weights, eps=1e-7):
+    """Oracle transcription of the htdemucs solver KD branch
+    (solver.py:334-372; new_sdr per demucs: ref=sources, per-source)."""
+    dims = tuple(range(2, sources.dim()))
+
+    def new_sdr(ref, est):
+        num = torch.sum(torch.square(ref), dim=(2, 3)) + eps
+        den = torch.sum(torch.square(ref - est), dim=(2, 3)) + eps
+        return 10 * torch.log10(num / den)
+
+    sdrs = torch.cat([new_sdr(sources[i : i + 1], fwavs[i : i + 1]) for i in range(len(fwavs))])
+    sdrqs = torch.cat([new_sdr(sources[i : i + 1], wavs[i : i + 1]) for i in range(len(wavs))])
+    w = torch.exp((sdrs - sdrqs) / 10)
+    task = torch.nn.functional.l1_loss(wavs, sources, reduction="none").mean(dims).mean(0)
+    kd = torch.nn.functional.l1_loss(wavs, fwavs, reduction="none").mean(dims)
+    kd = torch.mean(w * kd, dim=0)
+    loss = (1 - kd_lambda) * task + kd_lambda * kd
+    weights = torch.tensor(weights)
+    return (loss * weights).sum() / weights.sum()
+
+
+def test_music_kd_l1_loss_pow10_matches_tasnet_oracle():
     rng = np.random.default_rng(6)
-    src = rng.standard_normal((2, 4, 2, 500)).astype(np.float32)
+    src = rng.standard_normal((3, 4, 2, 500)).astype(np.float32)
     wavs = src + 0.1 * rng.standard_normal(src.shape).astype(np.float32)
     fwavs = src + 0.02 * rng.standard_normal(src.shape).astype(np.float32)
-    for kind in ("pow10", "exp"):
-        loss = music_kd_l1_loss(jnp.asarray(wavs), jnp.asarray(fwavs), jnp.asarray(src), 0.1, kind)
-        assert np.isfinite(float(loss)) and float(loss) > 0
+    got = music_kd_l1_loss(jnp.asarray(wavs), jnp.asarray(fwavs), jnp.asarray(src), 0.1, "pow10")
+    want = _torch_tasnet_music_loss(
+        torch.tensor(wavs), torch.tensor(fwavs), torch.tensor(src), 0.1
+    )
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-5)
+
+
+def test_music_kd_l1_loss_exp_matches_htdemucs_oracle():
+    rng = np.random.default_rng(7)
+    src = rng.standard_normal((3, 4, 2, 400)).astype(np.float32)
+    wavs = src + 0.15 * rng.standard_normal(src.shape).astype(np.float32)
+    fwavs = src + 0.03 * rng.standard_normal(src.shape).astype(np.float32)
+    for weights in ([1.0, 1.0, 1.0, 1.0], [1.0, 2.0, 0.5, 1.5]):
+        got = music_kd_l1_loss(
+            jnp.asarray(wavs), jnp.asarray(fwavs), jnp.asarray(src), 0.1, "exp",
+            source_weights=jnp.asarray(weights, jnp.float32),
+        )
+        want = _torch_htdemucs_loss(
+            torch.tensor(wavs), torch.tensor(fwavs), torch.tensor(src), 0.1, weights
+        )
+        np.testing.assert_allclose(float(got), float(want), rtol=2e-5)
+
+
+def test_music_kd_l1_loss_no_kd():
+    rng = np.random.default_rng(8)
+    src = rng.standard_normal((2, 4, 2, 300)).astype(np.float32)
+    wavs = src + 0.1 * rng.standard_normal(src.shape).astype(np.float32)
+    fwavs = src
     plain = music_kd_l1_loss(jnp.asarray(wavs), jnp.asarray(fwavs), jnp.asarray(src), 0.0)
     np.testing.assert_allclose(float(plain), np.mean(np.abs(wavs - src)), rtol=1e-5)
