@@ -99,9 +99,22 @@ def data_stream(seed: int):
     return _prefetch(lambda: _gen(rng, BATCH, SEG))
 
 
+# One jitted forward per (model, kwargs) — trajectory evals run every 2k
+# steps and must not recompile each call (a ~40 s tunnel compile per eval
+# otherwise dominates the campaign wall-clock).
+_FWD_CACHE: dict = {}
+
+
+def _cached_fwd(model, **kwargs):
+    key = (id(model), tuple(sorted(kwargs.items())))
+    if key not in _FWD_CACHE:
+        _FWD_CACHE[key] = jax.jit(lambda v, x: model.apply(v, x, **kwargs))
+    return _FWD_CACHE[key]
+
+
 def eval_sisdr(model, variables, n_batches: int = 8, seed: int = 999) -> float:
     rng = np.random.default_rng(seed)
-    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    fwd = _cached_fwd(model)
     vals = []
     for _ in range(n_batches):
         mix, src = _gen(rng, BATCH, SEG)
@@ -214,7 +227,7 @@ def eval_music_nsdr(model, variables, band: bool, is_htdemucs: bool, n_stems: in
     # NOT a torch train-mode flag (no dropout/BN here; checked for the r4
     # float-arm anomaly, which was undertraining, not an eval-flag bug).
     kwargs = {"train": True} if is_htdemucs else {}
-    fwd = jax.jit(lambda v, x: model.apply(v, x, **kwargs))
+    fwd = _cached_fwd(model, **kwargs)
     rng = np.random.default_rng(seed)
     vals = []
     for _ in range(n_batches):
@@ -228,14 +241,33 @@ def eval_music_nsdr(model, variables, band: bool, is_htdemucs: bool, n_stems: in
     return float(np.mean(vals))
 
 
+def _decay_optimizer(cfg, steps: int):
+    """Adam with cosine lr decay + the standard global-norm clip — the
+    synthetic-campaign float arm's analog of the reference's float-training
+    LR schedules (ReduceLROnPlateau/StepLR; asteroid_librimix_trainer.py
+    half_lr, htdemucs train.py). Constant-lr float HTDemucs oscillates at
+    ~8.5-10 dB NSDR indefinitely (measured, 20k steps) while its own QAT
+    students reach 17-20 dB; decaying the lr is the float arm's fair
+    equivalent of the schedule every reference float teacher was trained
+    with."""
+    import optax
+
+    sched = optax.cosine_decay_schedule(cfg.lr, max(steps, 1), alpha=1e-2)
+    chain = []
+    if cfg.grad_clip and cfg.grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    chain.append(optax.adam(sched))
+    return optax.chain(*chain)
+
+
 def train_music(model, teacher, variables, teacher_params, cfg, steps, seed,
                 weight_kind: str, is_htdemucs: bool, band: bool, n_stems: int = 4,
-                eval_fn=None):
+                eval_fn=None, lr_decay: bool = False):
     """Drive make_music_train_step (the product music KD step) on synthetic
     stems — the same loss/step the tasnet/htdemucs recipes run."""
     from fqss_tpu.train.recipes_music import make_music_train_step
 
-    tx = make_optimizer(cfg)
+    tx = _decay_optimizer(cfg, steps) if lr_decay else make_optimizer(cfg)
     state = create_train_state(dict(variables), tx, teacher_params=teacher_params)
     step_fn = make_music_train_step(
         model, teacher, tx, cfg, weight_kind=weight_kind,
@@ -280,7 +312,8 @@ def run_music(args) -> None:
     fvars = dict(fmodel.init(jax.random.PRNGKey(0), x0, **init_kw))
     fvars_trained = train_music(fmodel, fmodel, fvars, None, TrainConfig(kd_lambda=0.0, lr=1e-3),
                                 args.steps_float, seed=1, weight_kind=weight_kind,
-                                is_htdemucs=is_htd, band=band, n_stems=n_stems, eval_fn=ev(fmodel))
+                                is_htdemucs=is_htd, band=band, n_stems=n_stems, eval_fn=ev(fmodel),
+                                lr_decay=args.float_lr_decay)
     float_nsdr = eval_music_nsdr(fmodel, fvars_trained, band, is_htd, n_stems=n_stems)
     print(f"float NSDR: {float_nsdr:.2f} dB")
 
@@ -339,6 +372,10 @@ def main():
     ap.add_argument("--steps-float", type=int, default=3000)
     ap.add_argument("--steps-qat", type=int, default=2500)
     ap.add_argument("--qat-lr", type=float, default=1e-3)
+    ap.add_argument("--float-lr-decay", action="store_true",
+                    help="cosine-decay the float arm's lr over its budget "
+                    "(the synthetic analog of the reference float teachers' "
+                    "LR schedules; see _decay_optimizer)")
     ap.add_argument("--task", choices=sorted(TASKS), default="band")
     ap.add_argument("--model", choices=sorted(ARCHS) + sorted(MUSIC_ARCHS), default="convtasnet")
     ap.add_argument(
