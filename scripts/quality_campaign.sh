@@ -43,8 +43,8 @@ row --model convtasnet --task hard --internal-bits 8 --steps-float 10000 --steps
 # band = 4 band-disjoint stems (8-bit I/O ceiling regime); hard = 2
 # timbre-distinct wideband stems (model-limited regime; 2 stems so the
 # float arm is non-trivial — see qat_quality_check.N_STEMS_HARD).
-row --model convtasnet_music --task band --steps-float 12000 --steps-qat 8000
-row --model convtasnet_music --task hard --steps-float 12000 --steps-qat 8000
+row --model convtasnet_music --task band --steps-float 28000 --steps-qat 16000
+row --model convtasnet_music --task hard --steps-float 24000 --steps-qat 12000
 row --model htdemucs --task band --steps-float 8000 --steps-qat 2500
 row --model htdemucs --task hard --steps-float 8000 --steps-qat 2500
 
