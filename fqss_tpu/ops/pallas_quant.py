@@ -188,7 +188,7 @@ def int8_matmul_requant_pallas(
     alpha: Array,
     out_delta: Array,
     out_mn: Array,
-    tm: int = 256,
+    tm: int = 1024,
     tn: int = 256,
     interpret: bool = False,
 ) -> Array:
@@ -201,6 +201,16 @@ def int8_matmul_requant_pallas(
     [M, N] int8 in the same shifted convention. Semantics match the
     serving engine's XLA path (serve/convtasnet_int8.py _int1x1 + _requant)
     bit-for-bit.
+
+    Default tiles are the measured argmin of the r5 sweep at the ConvTasNet
+    TCN 1x1 serving shape (M=384k, K=N=512; scripts/bench_int8_matmul.py):
+    tm=1024/tn=256 runs 26.8 ms = 7.5 T/s vs XLA int8+separate-requant
+    29.4 ms and XLA bf16 matmul-alone 30.4 ms. The device is dtype-flat
+    (~7 T/s effective at this shape for f32/bf16/int8 alike), so ~10% per
+    site is the whole int8 headroom here — the roofline that explains why
+    the int8 engines trail the plain paths end-to-end on THIS chip (their
+    deficit is boundary layout/activation-grid work, not the matmul), and
+    why `--engine auto` (serve/autopath.py) never selects them.
     """
     m, k = xs.shape
     k2, n = w_int.shape
