@@ -66,12 +66,18 @@ def supported(lq: int, lk: int, d: int) -> bool:
     unconditionally, vs 44x faster on the long intra-chunk shapes. Gate on
     the [Lq, Lk] logit panel being at least one full 128x128 tile: that is
     exactly when XLA's HBM round-trip of the logits is material.
+
+    Small heads: d < 32 pads the lane dim >= 4x with zeros (DPTNet's
+    d_head=16 wastes 8x of every MXU pass), measured as a 1.3x FULL-MODEL
+    regression (739 vs 569 ms, BENCH_models_r05) — fall back to XLA there
+    until the kernel packs multiple heads per lane tile (PARITY.md round-5
+    DPTNet ablation).
     """
     dp = _round_up(d, _LANE)
     lkp = _round_up(lk, _LANE)
     tq = min(_round_up(lq, _SUB), 512)
     words = tq * dp + 2 * lkp * dp + tq * lkp + tq * dp
-    return d <= 2 * _LANE and lq >= _LANE and lk >= _LANE and words <= _MAX_VMEM_WORDS
+    return 32 <= d <= 2 * _LANE and lq >= _LANE and lk >= _LANE and words <= _MAX_VMEM_WORDS
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mn_ref, mx_ref, o_ref, *, n_bits: int, lk: int, lkp: int):
