@@ -210,13 +210,16 @@ def create_model_and_teacher(model_cfg: Mapping[str, Any], pretrained: str | Non
     return model, qvars, teacher, tvars["params"]
 
 
-def merge_float_params(q_init_params: dict, float_params: dict, n_splitter: int = 1) -> dict:
+def merge_float_params(q_init_params: dict, float_params: dict, n_splitter: int = 1,
+                       lsb_init: str = "gauss") -> dict:
     """Load float-teacher weights into a QAT param tree.
 
     Shared parameters are overwritten from the float model; QAT-only
     parameters (combiner residual blocks, etc.) keep their init; the encoder
-    kernel is splitter-widened with Gaussian-matched channels
-    (qat_layers.py:1009-1026) when the shapes differ.
+    kernel is splitter-widened when the shapes differ — ``lsb_init="gauss"``
+    is the reference's Gaussian-matched scheme (qat_layers.py:1009-1026),
+    ``"zeros"`` starts the merged model at exactly float(MSB-plane) (see
+    expand_encoder_kernel).
     """
     from fqss_tpu.nn.io_layers import expand_encoder_kernel
 
@@ -228,7 +231,7 @@ def merge_float_params(q_init_params: dict, float_params: dict, n_splitter: int 
                 return fv
             # splitter-widened conv1d (k, Ci, Co) or conv2d (kh, kw, Ci, Co)
             if qv.ndim == fv.ndim and qv.ndim in (3, 4) and qv.shape[-2] == n_splitter * fv.shape[-2]:
-                return expand_encoder_kernel(fv, n_splitter, jax.random.PRNGKey(1))
+                return expand_encoder_kernel(fv, n_splitter, jax.random.PRNGKey(1), lsb_init=lsb_init)
             raise ValueError(
                 f"Error: mismatch model weights ({fv.shape} vs {qv.shape}). "
                 "Please check if the model configuration matches the checkpoint."

@@ -44,19 +44,33 @@ from fqss_tpu.quant.spec import FLOAT, QuantSpec
 Array = jax.Array
 
 
-def expand_encoder_kernel(kernel: Array, n_splitter: int, rng: jax.Array) -> Array:
+def expand_encoder_kernel(kernel: Array, n_splitter: int, rng: jax.Array,
+                          lsb_init: str = "gauss") -> Array:
     """Widen a float encoder kernel to n_splitter * Cin input channels.
 
     Works on the input-channel axis (-2) of (k, Cin, Cout) conv1d or
-    (kh, kw, Cin, Cout) conv2d kernels. New channel groups are initialized
-    Gaussian with the original channel's mean and std**n
-    (reference qat_layers.py:1009-1026).
+    (kh, kw, Cin, Cout) conv2d kernels. New channel groups (the LSB-plane
+    inputs) are initialized per ``lsb_init``:
+
+    * ``"gauss"`` — Gaussian with the original channel's mean and std**n,
+      the reference's scheme (qat_layers.py:1009-1026). NOTE the splitter's
+      LSB streams are residuals REMAPPED TO FULL RANGE (process.py:16-37),
+      so random LSB weights inject O(1) noise into the merged model's
+      encoder output — the widened model starts several dB below its float
+      teacher and re-learns for thousands of steps (measured: the FQSS
+      music-band arm lags the float trajectory by ~4k steps).
+    * ``"zeros"`` — zero the LSB groups, so the merged model computes
+      exactly float(MSB-plane) at load and learns to USE the LSB stream
+      from a working starting point (beyond-parity option).
     """
     if n_splitter < 2:
         return kernel
     cin = kernel.shape[-2]
     new = [kernel]
     for n_ch in range(1, n_splitter):
+        if lsb_init == "zeros":
+            new.append(jnp.zeros_like(kernel))
+            continue
         block = []
         for c in range(cin):
             rng, sub = jax.random.split(rng)

@@ -141,3 +141,19 @@ def test_merge_float_params_into_qat_tree():
     qvars["params"] = merged
     y = qmodel.apply(qvars, jax.random.uniform(jax.random.PRNGKey(2), (1, 2000), minval=-1, maxval=1))
     assert bool(jnp.isfinite(y).all())
+
+
+def test_expand_encoder_kernel_zeros_lsb_init():
+    """lsb_init='zeros' zeroes the LSB channel groups so the merged model
+    computes exactly float(MSB-plane) at load (io_layers.py
+    expand_encoder_kernel docstring)."""
+    from fqss_tpu.nn.io_layers import expand_encoder_kernel
+
+    k = jax.random.normal(jax.random.PRNGKey(0), (16, 1, 8))
+    w = expand_encoder_kernel(k, 2, jax.random.PRNGKey(1), lsb_init="zeros")
+    assert w.shape == (16, 2, 8)
+    np.testing.assert_array_equal(np.asarray(w[:, 0]), np.asarray(k[:, 0]))
+    np.testing.assert_array_equal(np.asarray(w[:, 1]), 0.0)
+    # gauss (reference scheme) stays the default and is non-zero
+    g = expand_encoder_kernel(k, 2, jax.random.PRNGKey(1))
+    assert np.abs(np.asarray(g[:, 1])).max() > 0
